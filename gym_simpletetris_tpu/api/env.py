@@ -1,0 +1,185 @@
+"""Functional batched environment API (the framework's main entry point).
+
+Design follows the functional-RL-env idiom (gymnax-style) rather than the
+reference's mutable ``gym.Env`` object (tetris_env.py:338-467): state is an
+explicit pytree, ``reset``/``step`` are pure jitted functions, and the batch
+dimension is first-class (shardable over a device mesh — see ``parallel/``).
+
+Semantics per step/reset match the reference exactly (see core/engine.py);
+observation conversion matches ``TetrisEnv._observation`` (tetris_env.py:413-433)
+including the float32 cast (:400) and the empty-board reset observation (:405-411).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EnvConfig
+from ..core import engine as E
+from ..core.pieces import PIECE_NAMES
+from ..core.state import EnvState, init_state
+from ..ops.bitops import unpack_rows
+from ..ops.raster import rasterize, grayscale_to_rgb
+from . import spaces
+
+
+def build_observation(cfg: EnvConfig, emitted_rows: jnp.ndarray) -> jnp.ndarray:
+    """Packed board rows (piece burned in) -> observation per cfg.obs_type.
+
+    ram:       float32 [B, W, H] (board[x, y] orientation, tetris_env.py:421-424)
+    grayscale: float32 [B, 84, 84] with values {0, 128, 190} (:426-431; the
+               declared [0,1] Box range mismatch is a reference quirk)
+    rgb:       float32 [B, 84, 84, 3] (:433)
+    extend_dims appends a trailing channel axis for ram/grayscale (:424, :431).
+    """
+    cells = unpack_rows(cfg, emitted_rows, dtype=jnp.uint8)   # [B, H, W]
+    if cfg.obs_type == "ram":
+        obs = cells.transpose(0, 2, 1).astype(jnp.float32)    # [B, W, H]
+        return obs[..., None] if cfg.extend_dims else obs
+    img = rasterize(cells, cfg.height, cfg.width, 84, impl=cfg.raster_impl)
+    if cfg.obs_type == "grayscale":
+        obs = img.astype(jnp.float32)
+        return obs[..., None] if cfg.extend_dims else obs
+    return grayscale_to_rgb(img).astype(jnp.float32)
+
+
+def _select_done(done: jnp.ndarray, new, old):
+    """Per-env select over a state pytree."""
+    def sel(n, o):
+        d = done.reshape(done.shape + (1,) * (n.ndim - 1))
+        return jnp.where(d, n, o)
+    return jax.tree.map(sel, new, old)
+
+
+def reset_fn(cfg: EnvConfig, batch_size: int, key,
+             injected_r: Optional[jnp.ndarray] = None
+             ) -> Tuple[jnp.ndarray, EnvState]:
+    """Fresh engine + episode reset. The observation is the *empty* board —
+    the reference's reset returns the board before the spawned piece is burned
+    in (tetris_env.py:313-315, :405-411)."""
+    state = init_state(cfg, batch_size, key)
+    state, emitted = E.engine_clear(cfg, state, injected_r=injected_r)
+    return build_observation(cfg, emitted), state
+
+
+def soft_reset_fn(cfg: EnvConfig, state: EnvState,
+                  injected_r: Optional[jnp.ndarray] = None):
+    """Episode reset that carries over lock counter / deaths / shape counts,
+    exactly like ``TetrisEngine.clear`` (tetris_env.py:306-315)."""
+    state, emitted = E.engine_clear(cfg, state, injected_r=injected_r)
+    return build_observation(cfg, emitted), state
+
+
+def step_fn(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
+            injected_r: Optional[jnp.ndarray] = None):
+    """One batched transition. Returns (obs, state, reward, done, info).
+
+    With ``cfg.auto_reset``, envs that died are re-cleared in the same call and
+    their observation is the reset observation (empty board); reward/done still
+    report the terminal transition.
+    """
+    out = E.engine_step(cfg, state, action, injected_r=injected_r)
+    new_state, emitted = out.state, out.emitted_rows
+    if cfg.auto_reset:
+        cleared_state, cleared_rows = E.engine_clear(cfg, new_state)
+        new_state = _select_done(out.done, cleared_state, new_state)
+        emitted = jnp.where(out.done[:, None], cleared_rows, emitted)
+    obs = build_observation(cfg, emitted)
+    info = make_info(new_state)
+    return obs, new_state, out.reward, out.done, info
+
+
+def make_info(state: EnvState) -> dict:
+    """Batched analog of ``get_info`` (tetris_env.py:232-241): same keys, arrays
+    over the batch; ``current_piece`` is an int id into PIECE_NAMES; the
+    ``statistics`` live-dict aliasing quirk becomes a plain int32[B, 7] copy."""
+    return {
+        "time": state.time,
+        "current_piece": state.piece,
+        "score": state.score,
+        "lines_cleared": state.lines_cleared,
+        "holes": state.holes,
+        "deaths": state.deaths,
+        "statistics": state.shape_counts,
+    }
+
+
+class TetrisVectorEnv:
+    """Batched TPU-native SimpleTetris. All methods are jit-compiled per
+    (config, batch_size); state is explicit and device-resident.
+
+    >>> env = TetrisVectorEnv(EnvConfig(obs_type="ram"), batch_size=4096)
+    >>> obs, state = env.reset(jax.random.PRNGKey(0))
+    >>> obs, state, reward, done, info = env.step(state, actions)
+    """
+
+    PIECE_NAMES = PIECE_NAMES
+
+    def __init__(self, config: EnvConfig = EnvConfig(), batch_size: int = 1):
+        self.config = config
+        self.batch_size = batch_size
+        self.observation_space = spaces.observation_space(config)
+        self.action_space = spaces.action_space()
+        cfg = config
+        self._reset = jax.jit(lambda key: reset_fn(cfg, batch_size, key))
+        self._reset_inj = jax.jit(
+            lambda key, r: reset_fn(cfg, batch_size, key, injected_r=r))
+        self._step = jax.jit(lambda s, a: step_fn(cfg, s, a))
+        self._step_inj = jax.jit(lambda s, a, r: step_fn(cfg, s, a, injected_r=r))
+        self._soft_reset = jax.jit(lambda s: soft_reset_fn(cfg, s))
+        self._soft_reset_inj = jax.jit(lambda s, r: soft_reset_fn(cfg, s, r))
+        self._render = jax.jit(lambda s: E.render_rows(cfg, s))
+        self._vac = jax.jit(lambda s: E.valid_action_count(cfg, s))
+
+    # -- core API ---------------------------------------------------------------
+    def reset(self, key, injected_r=None):
+        if injected_r is None:
+            return self._reset(key)
+        return self._reset_inj(key, jnp.asarray(injected_r))
+
+    def step(self, state: EnvState, action, injected_r=None):
+        if injected_r is None:
+            return self._step(state, jnp.asarray(action))
+        return self._step_inj(state, jnp.asarray(action), jnp.asarray(injected_r))
+
+    def soft_reset(self, state: EnvState, injected_r=None):
+        if injected_r is None:
+            return self._soft_reset(state)
+        return self._soft_reset_inj(state, jnp.asarray(injected_r))
+
+    # -- aux --------------------------------------------------------------------
+    def render_rows(self, state: EnvState) -> jnp.ndarray:
+        """Packed board with active piece burned in (TetrisEngine.render)."""
+        return self._render(state)
+
+    def valid_action_count(self, state: EnvState) -> jnp.ndarray:
+        return self._vac(state)
+
+    def rollout(self, state: EnvState, actions: jnp.ndarray,
+                with_obs: bool = True):
+        """Scan ``T`` pre-chosen action batches: actions int32[T, B].
+
+        Returns (final_state, obs_acc, reward[T, B], done[T, B]).
+
+        ``with_obs=True`` materializes the observation every step and folds it
+        into a running [B, *obs_shape] accumulator (returned), so the full
+        observation pipeline stays live under XLA's DCE — this is what the
+        throughput bench measures. ``with_obs=False`` benches the bare engine.
+        Use cfg.auto_reset for horizons past episode ends.
+        """
+        cfg = self.config
+
+        def body(carry, a):
+            s, acc = carry
+            obs, s, r, d, _ = step_fn(cfg, s, a)
+            if with_obs:
+                acc = acc + obs
+            return (s, acc), (r, d)
+
+        obs0 = jnp.zeros((self.batch_size,) + self.observation_space.shape,
+                         dtype=jnp.float32)
+        (final, acc), (rew, done) = jax.lax.scan(body, (state, obs0), actions)
+        return final, acc, rew, done

@@ -1,0 +1,164 @@
+"""Single-env, old-gym-API compatibility shim.
+
+Mirrors the reference ``TetrisEnv`` surface exactly (tetris_env.py:338-467):
+4-tuple ``step`` -> (obs, reward, done, info), ``reset(return_info=False)``,
+``render(mode='human'|'rgb_array')`` (pygame window at 512px / 8fps cap, or a
+(160,160,3) array), ``close()``, and the same constructor kwargs — but backed by
+the batched TPU engine at B=1 with numpy I/O, so a user of the reference can
+switch imports and keep their agent loop unchanged.
+
+Differences (documented, not silent):
+- RNG: a ``seed`` kwarg drives per-env threefry instead of the global Python
+  Mersenne Twister (the reference has no seeding API at all — callers had to
+  call ``random.seed()``); an ``injected_r`` hook supports oracle-parity replay.
+- ``info['statistics']`` is a fresh dict per call, not the engine's live,
+  mutated dict object (reference quirk, tetris_env.py:240-241).
+- Out-of-range actions act as no-ops instead of raising KeyError.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EnvConfig
+from ..core.pieces import PIECE_NAMES
+from ..ops.bitops import unpack_board
+from ..ops.raster import rasterize, grayscale_to_rgb
+from .env import TetrisVectorEnv
+from . import spaces
+
+
+class TetrisEnv:
+    """Drop-in, old-gym-API SimpleTetris backed by the TPU-native engine."""
+
+    metadata = {"render.modes": ["human", "rgb_array"], "render_fps": 8}
+
+    def __init__(self,
+                 width=10,
+                 height=20,
+                 obs_type="ram",
+                 extend_dims=False,
+                 render_mode="rgb_array",
+                 reward_step=False,
+                 penalise_height=False,
+                 penalise_height_increase=False,
+                 advanced_clears=False,
+                 high_scoring=False,
+                 penalise_holes=False,
+                 penalise_holes_increase=False,
+                 lock_delay=0,
+                 step_reset=False,
+                 seed: int = 0):
+        self.config = EnvConfig(
+            width=width, height=height, obs_type=obs_type,
+            extend_dims=extend_dims, render_mode=render_mode,
+            reward_step=reward_step, penalise_height=penalise_height,
+            penalise_height_increase=penalise_height_increase,
+            advanced_clears=advanced_clears, high_scoring=high_scoring,
+            penalise_holes=penalise_holes,
+            penalise_holes_increase=penalise_holes_increase,
+            lock_delay=lock_delay, step_reset=step_reset)
+        self.width, self.height = width, height
+        self.obs_type, self.extend_dims = obs_type, extend_dims
+        self.render_mode = render_mode
+        self.window_size = 512
+
+        self._venv = TetrisVectorEnv(self.config, batch_size=1)
+        self._key = jax.random.PRNGKey(seed)
+        self._state = None
+        self.action_space = spaces.action_space()
+        self.observation_space = spaces.observation_space(self.config)
+        self.window = None
+        self.clock = None
+
+    # -- gym API ----------------------------------------------------------------
+    def reset(self, return_info: bool = False, injected_r: Optional[int] = None):
+        inj = None if injected_r is None else np.array([injected_r], np.int32)
+        if self._state is None:
+            obs, self._state = self._venv.reset(self._key, injected_r=inj)
+        else:
+            # episode reset on a live engine: carry-over semantics (clear())
+            obs, self._state = self._venv.soft_reset(self._state, injected_r=inj)
+        obs = np.asarray(obs[0], dtype=np.float32)
+        return (obs, self._get_info()) if return_info else obs
+
+    def step(self, action, injected_r: Optional[int] = None):
+        if self._state is None:
+            raise RuntimeError("step() before reset()")
+        inj = None if injected_r is None else np.array([injected_r], np.int32)
+        obs, self._state, reward, done, _ = self._venv.step(
+            self._state, np.array([int(action)], np.int32), injected_r=inj)
+        obs = np.asarray(obs[0], dtype=np.float32)
+        return obs, float(reward[0]), bool(done[0]), self._get_info()
+
+    def _get_info(self):
+        s = self._state
+        counts = np.asarray(s.shape_counts[0])
+        return {
+            "time": int(s.time[0]),
+            "current_piece": PIECE_NAMES[int(s.piece[0])],
+            "score": int(s.score[0]),
+            "lines_cleared": int(s.lines_cleared[0]),
+            "holes": int(s.holes[0]),
+            "deaths": int(s.deaths[0]),
+            "statistics": {n: int(c) for n, c in zip(PIECE_NAMES, counts)},
+        }
+
+    def _board(self) -> np.ndarray:
+        """(W, H) float board with the active piece burned in."""
+        rows = self._venv.render_rows(self._state)
+        return np.asarray(unpack_board(self.config, rows))[0]
+
+    def render(self, mode: str = "human"):
+        if mode == "rgb_array":
+            # (160,160,3) image of the (internally transposed) board
+            # (tetris_env.py:458-462)
+            cells = jnp.asarray(self._board().T[None])     # [1, H, W]
+            img = rasterize(cells, self.height, self.width, 160)
+            return np.asarray(grayscale_to_rgb(img[0]))
+        if mode == "human":
+            # pygame window path (tetris_env.py:436-457): the board is
+            # transposed *before* convert_grayscale, i.e. rasterized as (W, H)
+            import pygame
+            if self.window is None:
+                pygame.init()
+                pygame.display.init()
+                self.window = pygame.display.set_mode(
+                    (self.window_size, self.window_size))
+            if self.clock is None:
+                self.clock = pygame.time.Clock()
+            cells = jnp.asarray(self._board()[None])       # [1, W, H]
+            img = rasterize(cells, self.width, self.height, self.window_size)
+            rgb = np.asarray(grayscale_to_rgb(img[0]))
+            pygame.pixelcopy.array_to_surface(self.window, rgb)
+            canvas = pygame.surfarray.make_surface(rgb)
+            self.window.blit(canvas, canvas.get_rect())
+            pygame.event.pump()
+            pygame.display.update()
+            self.clock.tick(self.metadata["render_fps"])
+            return None
+        raise NotImplementedError(mode)
+
+    def close(self):
+        # the reference just `del self.engine` and leaks the window (:466-467);
+        # we do close the window.
+        self._state = None
+        if self.window is not None:
+            import pygame
+            pygame.display.quit()
+            self.window = None
+
+    def __repr__(self):
+        """ASCII board like TetrisEngine.__repr__ (tetris_env.py:329-335)."""
+        if self._state is None:
+            return f"TetrisEnv({self.width}x{self.height}, unreset)"
+        b = self._board()
+        s = "o" + "-" * self.width + "o\n"
+        s += "\n".join(
+            "|" + "".join("X" if b[x, y] else " " for x in range(self.width)) + "|"
+            for y in range(self.height))
+        return s + "\no" + "-" * self.width + "o"

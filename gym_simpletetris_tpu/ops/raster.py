@@ -1,0 +1,147 @@
+"""Observation rasterization: board -> size×size grayscale/rgb images.
+
+The reference renders observations with numpy ``repeat``/``insert`` chains
+(``convert_grayscale``, tetris_env.py:76-114) — its dominant per-step cost
+(BASELINE.md: 22.5k steps/s ram vs 4.6k grayscale). The geometry is pure integer
+arithmetic over ``(d0, d1, size)``, so here it is precomputed **once per config on
+the host** into static lookup structures, and the per-step device work is either:
+
+- ``matmul``: one ``[B, d0*d1] @ [d0*d1, size*size]`` bf16 matmul against a
+  constant 0/1 pixel-membership matrix (runs on the MXU; exact, since all values
+  are small integers), or
+- ``gather``: one static-index gather per pixel.
+
+Pixel semantics replicated exactly (verified pixel-for-pixel against the
+reference in tests/test_raster.py):
+
+- border_shade=0, background_shade=128, piece_shade=190 (tetris_env.py:77-79)
+- the input board is transposed first (:82), so axis0 of the image indexes the
+  board's second axis (for (W,H) boards: rows of the image = y)
+- gap = size//100 + 1; block = (size - 2*gap)//max(d0,d1) - gap (:87-88)
+- inner extent per axis = gap + (block+gap)*d (:90-91); centering padding is
+  floor((size-inner)/2) before, remainder after (:93-94, :109-112)
+- grid: [gap, block]* pattern starting with a gap; gaps/background share 128
+- border rows/cols (value 0) are inserted last and span the full image
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BORDER_SHADE = 0
+BACKGROUND_SHADE = 128
+PIECE_SHADE = 190
+
+
+def raster_geometry(d0: int, d1: int, size: int):
+    """Static geometry for an image of a (d0, d1) array at ``size`` pixels.
+    Returns (gap, block, inner0, inner1, pad0, pad1)."""
+    limiting = max(d0, d1)
+    gap = (size // 100) + 1
+    block = ((size - 2 * gap) // limiting) - gap
+    if block < 1:
+        raise ValueError(
+            f"board {d0}x{d1} too large to rasterize at {size}px "
+            f"(block={block}); the reference would crash in np.repeat too")
+    inner0 = gap + (block + gap) * d0
+    inner1 = gap + (block + gap) * d1
+    pad0 = (size - inner0) // 2
+    pad1 = (size - inner1) // 2
+    if pad0 < 0 or pad1 < 0:
+        raise ValueError(f"board {d0}x{d1} does not fit at {size}px")
+    return gap, block, inner0, inner1, pad0, pad1
+
+
+def _axis_cells(d: int, size: int, gap: int, block: int, inner: int, pad: int):
+    """Per-pixel classification along one axis: cell index or -1 (gap), -2 (border)."""
+    idx = np.full(size, -2, dtype=np.int32)
+    for p in range(pad, pad + inner):
+        t = (p - pad) - gap
+        if t < 0:
+            idx[p] = -1
+            continue
+        i, rem = divmod(t, block + gap)
+        idx[p] = i if rem < block else -1
+    return idx
+
+
+@lru_cache(maxsize=64)
+def build_raster_maps(d0: int, d1: int, size: int):
+    """Host-side static maps: (base uint8[size,size], cell int32[size,size]).
+
+    ``base`` is the image of an all-empty board; ``cell[p0,p1]`` is the flat cell
+    index ``i0*d1 + i1`` whose occupancy bumps that pixel from 128 to 190, or -1
+    for pixels that never depend on the board (border and gaps).
+    """
+    gap, block, inner0, inner1, pad0, pad1 = raster_geometry(d0, d1, size)
+    a0 = _axis_cells(d0, size, gap, block, inner0, pad0)
+    a1 = _axis_cells(d1, size, gap, block, inner1, pad1)
+    border0 = a0 == -2
+    border1 = a1 == -2
+    border = border0[:, None] | border1[None, :]
+    base = np.where(border, BORDER_SHADE, BACKGROUND_SHADE).astype(np.uint8)
+    is_cell = (a0[:, None] >= 0) & (a1[None, :] >= 0)
+    cell = np.where(is_cell, a0[:, None] * d1 + np.maximum(a1, 0)[None, :], -1)
+    return base, cell.astype(np.int32)
+
+
+@lru_cache(maxsize=64)
+def _matmul_operands(d0: int, d1: int, size: int):
+    base, cell = build_raster_maps(d0, d1, size)
+    ncell = d0 * d1
+    flat = cell.reshape(-1)
+    # A[cell, pixel] = 1 where the pixel belongs to the cell's block
+    a = np.zeros((ncell, size * size), dtype=np.float32)
+    sel = flat >= 0
+    a[flat[sel], np.nonzero(sel)[0]] = 1.0
+    return base, a
+
+
+def rasterize_matmul(cells: jnp.ndarray, d0: int, d1: int, size: int) -> jnp.ndarray:
+    """cells: [B, d0, d1] (0/1, any numeric dtype) -> uint8 [B, size, size].
+
+    MXU path: shade delta = (190-128) * (cells @ A). bf16 is exact here (values
+    are 0/1 with one term per pixel; 62*1+128=190 < 256 is exactly representable).
+    """
+    base, a = _matmul_operands(d0, d1, size)
+    b = cells.shape[0]
+    x = cells.reshape(b, d0 * d1).astype(jnp.bfloat16)
+    hit = jnp.dot(x, jnp.asarray(a, dtype=jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    img = jnp.asarray(base, dtype=jnp.float32).reshape(1, -1) + \
+        (PIECE_SHADE - BACKGROUND_SHADE) * hit
+    return img.astype(jnp.uint8).reshape(b, size, size)
+
+
+def rasterize_gather(cells: jnp.ndarray, d0: int, d1: int, size: int) -> jnp.ndarray:
+    """cells: [B, d0, d1] -> uint8 [B, size, size] via one static-index gather."""
+    base, cell = build_raster_maps(d0, d1, size)
+    b = cells.shape[0]
+    ncell = d0 * d1
+    flat = jnp.concatenate(
+        [cells.reshape(b, ncell).astype(jnp.uint8),
+         jnp.zeros((b, 1), dtype=jnp.uint8)], axis=1)
+    idx = jnp.asarray(np.where(cell < 0, ncell, cell).reshape(-1))
+    hit = jnp.take(flat, idx, axis=1)                       # [B, size*size]
+    img = jnp.asarray(base, dtype=jnp.uint8).reshape(1, -1) + \
+        jnp.uint8(PIECE_SHADE - BACKGROUND_SHADE) * hit
+    return img.reshape(b, size, size)
+
+
+def rasterize(cells: jnp.ndarray, d0: int, d1: int, size: int,
+              impl: str = "matmul") -> jnp.ndarray:
+    if impl == "matmul":
+        return rasterize_matmul(cells, d0, d1, size)
+    if impl == "gather":
+        return rasterize_gather(cells, d0, d1, size)
+    raise ValueError(f"unknown raster impl {impl!r}")
+
+
+def grayscale_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
+    """HxW -> HxWx3 channel triple (``convert_grayscale_rgb``, tetris_env.py:117-122)."""
+    return jnp.repeat(img[..., None], 3, axis=-1)

@@ -1,0 +1,118 @@
+"""API-surface tests for the vector env, registry, spaces, auto-reset, rollout."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_simpletetris_tpu import (
+    EnvConfig, TetrisVectorEnv, make, PIECE_NAMES)
+
+
+def test_vector_env_shapes():
+    env = TetrisVectorEnv(EnvConfig(obs_type="grayscale"), batch_size=3)
+    obs, state = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (3, 84, 84) and obs.dtype == jnp.float32
+    a = jnp.zeros(3, jnp.int32)
+    obs, state, rew, done, info = env.step(state, a)
+    assert obs.shape == (3, 84, 84)
+    assert rew.shape == (3,) and rew.dtype == jnp.float32
+    assert done.shape == (3,) and done.dtype == jnp.bool_
+    assert info["statistics"].shape == (3, 7)
+    assert set(info) == {"time", "current_piece", "score", "lines_cleared",
+                         "holes", "deaths", "statistics"}
+
+
+def test_obs_values_are_reference_palette():
+    env = TetrisVectorEnv(EnvConfig(obs_type="grayscale"), batch_size=2)
+    obs, state = env.reset(jax.random.PRNGKey(1))
+    obs, *_ = env.step(state, jnp.zeros(2, jnp.int32))
+    vals = set(np.unique(np.asarray(obs)).tolist())
+    assert vals <= {0.0, 128.0, 190.0}
+
+
+def test_auto_reset():
+    cfg = EnvConfig(width=4, height=5, auto_reset=True)
+    env = TetrisVectorEnv(cfg, batch_size=8)
+    obs, state = env.reset(jax.random.PRNGKey(2))
+    deaths = 0
+    rng = np.random.RandomState(0)
+    for t in range(60):
+        a = jnp.asarray(rng.randint(0, 7, 8))
+        obs, state, rew, done, info = env.step(state, a)
+        if bool(done.any()):
+            deaths += int(done.sum())
+            # auto-reset: done envs get the reset obs (empty board) and
+            # a fresh episode (time==0), deaths counter carried over
+            i = int(np.argmax(np.asarray(done)))
+            assert float(np.asarray(obs[i]).sum()) == 0.0
+            assert int(state.time[i]) == 0
+    assert deaths > 0
+    assert int(state.deaths.sum()) == deaths
+
+
+def test_rollout_scan():
+    cfg = EnvConfig(auto_reset=True, obs_type="ram")
+    env = TetrisVectorEnv(cfg, batch_size=16)
+    obs, state = env.reset(jax.random.PRNGKey(3))
+    actions = jax.random.randint(jax.random.PRNGKey(4), (50, 16), 0, 7)
+    final, acc, rew, done = env.rollout(state, actions)
+    assert rew.shape == (50, 16) and done.shape == (50, 16)
+    assert acc.shape == (16,) + env.observation_space.shape
+    assert int(final.time.max()) > 0
+    # engine-only variant
+    final2, acc2, rew2, done2 = env.rollout(state, actions, with_obs=False)
+    np.testing.assert_array_equal(np.asarray(rew), np.asarray(rew2))
+
+
+def test_make_registry():
+    env = make("SimpleTetris-v0", obs_type="ram")
+    obs = env.reset()
+    assert obs.shape == (10, 20)
+    obs, rew, done, info = env.step(env.action_space.sample())
+    assert isinstance(info["statistics"], dict)
+    venv = make("SimpleTetris-v0", batch_size=4)
+    assert venv.batch_size == 4
+    with pytest.raises(KeyError):
+        make("Nope-v0")
+
+
+def test_gym_compat_step_before_reset_raises():
+    env = make("SimpleTetris-v0")
+    with pytest.raises(RuntimeError):
+        env.step(0)
+
+
+def test_gym_compat_repr_ascii():
+    env = make("SimpleTetris-v0", width=6, height=7)
+    env.reset()
+    env.step(6)
+    s = repr(env)
+    lines = s.splitlines()
+    assert lines[0] == "o" + "-" * 6 + "o" and len(lines) == 9
+
+
+def test_spaces_match_reference_declarations():
+    for obs_type, extend, shape in [
+        ("ram", False, (10, 20)), ("ram", True, (10, 20, 1)),
+        ("grayscale", False, (84, 84)), ("grayscale", True, (84, 84, 1)),
+        ("rgb", False, (84, 84, 3)), ("rgb", True, (84, 84, 3)),
+    ]:
+        env = make("SimpleTetris-v0", obs_type=obs_type, extend_dims=extend)
+        assert env.observation_space.shape == shape, (obs_type, extend)
+        assert env.action_space.n == 7
+
+
+def test_gymnasium_registration():
+    gymnasium = pytest.importorskip("gymnasium")
+    from gym_simpletetris_tpu import register_gymnasium
+    register_gymnasium("SimpleTetrisTPU-test-v0")
+    env = gymnasium.make("SimpleTetrisTPU-test-v0")
+    obs, info = env.reset()
+    assert obs.shape == (10, 20)
+    obs, reward, terminated, truncated, info = env.step(6)
+    assert truncated is False and isinstance(info["statistics"], dict)
+
+
+def test_piece_names_export():
+    assert PIECE_NAMES == ("T", "J", "L", "Z", "S", "I", "O")

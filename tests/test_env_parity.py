@@ -1,0 +1,82 @@
+"""Obs-level parity: our gym-compat TetrisEnv vs the reference TetrisEnv, driving
+the full observation pipeline (ram / grayscale / rgb, extend_dims) in lockstep
+with an injected RNG stream."""
+
+import numpy as np
+import pytest
+
+from reference_oracle import OracleEnv, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted")
+
+
+def run_env_lockstep(n_steps=120, policy_seed=0, seed=42, **env_kwargs):
+    from gym_simpletetris_tpu.api.gym_compat import TetrisEnv
+
+    ref = OracleEnv(seed=seed, **env_kwargs)
+    ours = TetrisEnv(**env_kwargs)
+    rng = np.random.RandomState(policy_seed)
+
+    robs, draws = ref.reset()
+    assert len(draws) == 1
+    oobs = ours.reset(injected_r=draws[0])
+    np.testing.assert_array_equal(robs, oobs)
+
+    for t in range(n_steps):
+        a = int(rng.randint(0, 7))
+        (robs, rrew, rdone, rinfo), draws = ref.step(a)
+        oobs, orew, odone, oinfo = ours.step(a, injected_r=draws[0] if draws else 0)
+        assert robs.dtype == oobs.dtype == np.float32
+        assert robs.shape == oobs.shape, f"t={t}: {robs.shape} vs {oobs.shape}"
+        np.testing.assert_array_equal(robs, oobs, err_msg=f"obs mismatch t={t}")
+        assert float(rrew) == orew and bool(rdone) == odone
+        assert rinfo == oinfo, f"info mismatch t={t}: {rinfo} vs {oinfo}"
+        if rdone:
+            robs, draws = ref.reset()
+            oobs = ours.reset(injected_r=draws[0])
+            np.testing.assert_array_equal(robs, oobs)
+
+
+def test_ram_parity():
+    run_env_lockstep(obs_type="ram")
+
+
+def test_ram_extend_dims_parity():
+    run_env_lockstep(obs_type="ram", extend_dims=True)
+
+
+def test_grayscale_parity():
+    run_env_lockstep(obs_type="grayscale", n_steps=80)
+
+
+def test_grayscale_extend_dims_parity():
+    run_env_lockstep(obs_type="grayscale", extend_dims=True, n_steps=60)
+
+
+def test_rgb_parity():
+    run_env_lockstep(obs_type="rgb", n_steps=60)
+
+
+def test_rgb_small_board_with_flags():
+    run_env_lockstep(obs_type="rgb", width=9, height=12, advanced_clears=True,
+                     reward_step=True, n_steps=80, policy_seed=3)
+
+
+def test_rgb_array_render_parity():
+    from gym_simpletetris_tpu.api.gym_compat import TetrisEnv
+    ref = OracleEnv(seed=5)
+    ours = TetrisEnv()
+    _, draws = ref.reset()
+    ours.reset(injected_r=draws[0])
+    rng = np.random.RandomState(9)
+    for t in range(40):
+        a = int(rng.randint(0, 7))
+        (_, _, rdone, _), draws = ref.step(a)
+        _, _, odone, _ = ours.step(a, injected_r=draws[0] if draws else 0)
+        want = ref.env.render(mode="rgb_array")
+        got = ours.render(mode="rgb_array")
+        np.testing.assert_array_equal(want, got, err_msg=f"render t={t}")
+        if rdone:
+            _, draws = ref.reset()
+            ours.reset(injected_r=draws[0])
