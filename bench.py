@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Throughput benchmark: env-steps/s at B=4096 on one chip (BASELINE.json metric).
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "env_steps/s", "vs_baseline": N}
+
+vs_baseline compares against the reference implementation measured in
+BASELINE.md (single-process Python on CPU): 22,500 steps/s for obs_type=ram,
+4,600 for grayscale, 3,700 for rgb (TetrisEnv.step, tetris_env.py:397-403).
+
+The timed region is the full env pipeline: random actions, batched transition,
+observation rendering (kept live via an obs accumulator so XLA cannot DCE it),
+auto-reset. Stepping is fused over scan chunks to amortize dispatch; that is the
+intended deployment shape (actor loops live on device).
+
+Usage: python bench.py [--obs ram|grayscale|rgb] [--batch 4096] [--steps 4096]
+                       [--chunk 256] [--impl matmul|gather] [--profile-dir DIR]
+                       [--all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__) or ".",
+                                   ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_simpletetris_tpu import EnvConfig, TetrisVectorEnv
+
+REF_BASELINE = {"ram": 22_500.0, "grayscale": 4_600.0, "rgb": 3_700.0}
+
+
+def bench_one(obs_type: str, batch: int, steps: int, chunk: int, impl: str,
+              profile_dir: str | None = None) -> dict:
+    cfg = EnvConfig(obs_type=obs_type, auto_reset=True, raster_impl=impl)
+    env = TetrisVectorEnv(cfg, batch_size=batch)
+    key = jax.random.PRNGKey(0)
+    obs, state = env.reset(key)
+
+    n_chunks = max(1, steps // chunk)
+    akey = jax.random.PRNGKey(1)
+    actions = jax.random.randint(akey, (chunk, batch), 0, 7, dtype=jnp.int32)
+
+    # warmup / compile
+    state_w, acc, rew, done = env.rollout(state, actions)
+    jax.block_until_ready(acc)
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
+    t0 = time.perf_counter()
+    total_done = jnp.zeros((), jnp.int32)
+    for i in range(n_chunks):
+        state, acc, rew, done = env.rollout(state, actions)
+        total_done = total_done + done.sum()
+    jax.block_until_ready((state.rows, acc, total_done))
+    dt = time.perf_counter() - t0
+
+    if profile_dir:
+        jax.profiler.stop_trace()
+
+    n_steps = n_chunks * chunk * batch
+    sps = n_steps / dt
+    return {
+        "metric": f"env_steps_per_sec_{obs_type}_b{batch}",
+        "value": round(sps, 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(sps / REF_BASELINE[obs_type], 1),
+        "_detail": {
+            "obs_type": obs_type, "batch": batch,
+            "timed_env_steps": int(n_steps), "wall_s": round(dt, 4),
+            "episodes_finished": int(total_done),
+            "device": str(jax.devices()[0]).replace(" ", "_"),
+            "raster_impl": impl,
+        },
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--obs", default="ram", choices=["ram", "grayscale", "rgb"])
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=4096)
+    ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--impl", default="matmul", choices=["matmul", "gather"])
+    ap.add_argument("--profile-dir", default=None)
+    ap.add_argument("--all", action="store_true",
+                    help="print one line per obs type to stderr; headline on stdout")
+    args = ap.parse_args()
+
+    if args.all:
+        results = {}
+        for obs_type in ("ram", "grayscale", "rgb"):
+            r = bench_one(obs_type, args.batch, args.steps, args.chunk, args.impl)
+            results[obs_type] = r
+            print(json.dumps(r), file=sys.stderr, flush=True)
+        headline = results["ram"]
+    else:
+        headline = bench_one(args.obs, args.batch, args.steps, args.chunk,
+                             args.impl, args.profile_dir)
+
+    detail = headline.pop("_detail")
+    print(json.dumps(detail, indent=None), file=sys.stderr)
+    print(json.dumps(headline), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,13 +21,13 @@ from ..core.config import EnvConfig
 from ..core import engine as E
 from ..core.pieces import PIECE_NAMES
 from ..core.state import EnvState, init_state
-from ..ops.bitops import unpack_rows
+from ..ops.bitops import unpack_rows, unpack_board
 from ..ops.raster import rasterize, grayscale_to_rgb
 from . import spaces
 
 
 def build_observation(cfg: EnvConfig, emitted_rows: jnp.ndarray) -> jnp.ndarray:
-    """Packed board rows (piece burned in) -> observation per cfg.obs_type.
+    """Packed board rows uint32[H, B] (piece burned in) -> obs per cfg.obs_type.
 
     ram:       float32 [B, W, H] (board[x, y] orientation, tetris_env.py:421-424)
     grayscale: float32 [B, 84, 84] with values {0, 128, 190} (:426-431; the
@@ -35,10 +35,10 @@ def build_observation(cfg: EnvConfig, emitted_rows: jnp.ndarray) -> jnp.ndarray:
     rgb:       float32 [B, 84, 84, 3] (:433)
     extend_dims appends a trailing channel axis for ram/grayscale (:424, :431).
     """
-    cells = unpack_rows(cfg, emitted_rows, dtype=jnp.uint8)   # [B, H, W]
     if cfg.obs_type == "ram":
-        obs = cells.transpose(0, 2, 1).astype(jnp.float32)    # [B, W, H]
+        obs = unpack_board(cfg, emitted_rows, dtype=jnp.float32)  # [B, W, H]
         return obs[..., None] if cfg.extend_dims else obs
+    cells = unpack_rows(cfg, emitted_rows, dtype=jnp.uint8)       # [B, H, W]
     img = rasterize(cells, cfg.height, cfg.width, 84, impl=cfg.raster_impl)
     if cfg.obs_type == "grayscale":
         obs = img.astype(jnp.float32)
@@ -46,12 +46,28 @@ def build_observation(cfg: EnvConfig, emitted_rows: jnp.ndarray) -> jnp.ndarray:
     return grayscale_to_rgb(img).astype(jnp.float32)
 
 
-def _select_done(done: jnp.ndarray, new, old):
-    """Per-env select over a state pytree."""
-    def sel(n, o):
-        d = done.reshape(done.shape + (1,) * (n.ndim - 1))
-        return jnp.where(d, n, o)
-    return jax.tree.map(sel, new, old)
+def _select_done(done: jnp.ndarray, new: EnvState, old: EnvState) -> EnvState:
+    """Per-env select over the state pytree (batch-minor aware): batch is the
+    last axis of rows/shape_counts, the only axis of per-env scalars, and the
+    engine key is global (the advanced key is kept unconditionally)."""
+    last = lambda n, o: jnp.where(done[None, :], n, o)
+    vec = lambda n, o: jnp.where(done, n, o)
+    return old.replace(
+        rows=last(new.rows, old.rows),
+        piece=vec(new.piece, old.piece),
+        rot=vec(new.rot, old.rot),
+        ax=vec(new.ax, old.ax),
+        ay=vec(new.ay, old.ay),
+        lock=vec(new.lock, old.lock),
+        time=vec(new.time, old.time),
+        score=vec(new.score, old.score),
+        holes=vec(new.holes, old.holes),
+        lines_cleared=vec(new.lines_cleared, old.lines_cleared),
+        piece_height=vec(new.piece_height, old.piece_height),
+        deaths=vec(new.deaths, old.deaths),
+        shape_counts=last(new.shape_counts, old.shape_counts),
+        key=new.key,
+    )
 
 
 def reset_fn(cfg: EnvConfig, batch_size: int, key,
@@ -86,7 +102,7 @@ def step_fn(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
     if cfg.auto_reset:
         cleared_state, cleared_rows = E.engine_clear(cfg, new_state)
         new_state = _select_done(out.done, cleared_state, new_state)
-        emitted = jnp.where(out.done[:, None], cleared_rows, emitted)
+        emitted = jnp.where(out.done[None, :], cleared_rows, emitted)
     obs = build_observation(cfg, emitted)
     info = make_info(new_state)
     return obs, new_state, out.reward, out.done, info
@@ -103,7 +119,7 @@ def make_info(state: EnvState) -> dict:
         "lines_cleared": state.lines_cleared,
         "holes": state.holes,
         "deaths": state.deaths,
-        "statistics": state.shape_counts,
+        "statistics": state.shape_counts.T,  # [B, 7], batch-major for consumers
     }
 
 

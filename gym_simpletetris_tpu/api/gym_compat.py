@@ -97,7 +97,7 @@ class TetrisEnv:
 
     def _get_info(self):
         s = self._state
-        counts = np.asarray(s.shape_counts[0])
+        counts = np.asarray(s.shape_counts[:, 0])
         return {
             "time": int(s.time[0]),
             "current_piece": PIECE_NAMES[int(s.piece[0])],

@@ -50,6 +50,7 @@ class JaxOneEnv:
             "holes": int(s.holes[0]),
             "deaths": int(s.deaths[0]),
             "statistics": {
-                n: int(c) for n, c in zip(PIECE_NAMES, np.asarray(s.shape_counts)[0])
+                n: int(c)
+                for n, c in zip(PIECE_NAMES, np.asarray(s.shape_counts)[:, 0])
             },
         }

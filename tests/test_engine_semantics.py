@@ -17,10 +17,10 @@ CFG = EnvConfig()
 
 
 def _collide_single(cfg, board_wh, piece, rot, ax, ay):
-    rows = jnp.asarray(pack_board(cfg, board_wh))[None]
+    rows = jnp.asarray(pack_board(cfg, board_wh))[:, None]       # [H, 1]
     masks = E.piece_masks(jnp.array([piece]), jnp.array([rot]), jnp.array([ax]))
-    coll = E.collide_profile(cfg, E.pad_rows(rows), masks)
-    return bool(coll[0, ay])
+    coll = E.collide_profile(cfg, E.pad_rows(rows), masks)       # [H+1, 1]
+    return bool(coll[ay, 0])
 
 
 def _brute_collide(cfg, board_wh, offsets, ax, ay):
@@ -76,12 +76,12 @@ def test_hard_drop_equals_iterated_soft_drop():
         y = ay
         while not _brute_collide(cfg, board, offs, ax, y + 1):
             y += 1
-        rows = jnp.asarray(pack_board(cfg, board))[None]
+        rows = jnp.asarray(pack_board(cfg, board))[:, None]
         masks = E.piece_masks(jnp.array([p]), jnp.array([r]), jnp.array([ax]))
-        coll = E.collide_profile(cfg, E.pad_rows(rows), masks)
-        idxs = jnp.arange(cfg.height + 1)[None, :]
+        coll = E.collide_profile(cfg, E.pad_rows(rows), masks)   # [H+1, 1]
+        idxs = jnp.arange(cfg.height + 1)[:, None]
         blocked = jnp.where((idxs > ay) & coll, idxs, cfg.height + 2)
-        got = int(blocked.min(axis=1)[0]) - 1
+        got = int(blocked.min(axis=0)[0]) - 1
         assert got == y, (trial, p, r, ax, ay, got, y)
 
 
@@ -92,7 +92,7 @@ def test_clear_lines_stable_compaction():
     b[0, 0] = 1          # partial above
     b[1, 3] = 1          # partial below
     b[:, 5] = 1          # full bottom row
-    rows = jnp.asarray(pack_board(cfg, b))[None]
+    rows = jnp.asarray(pack_board(cfg, b))[:, None]
     cleared, n = E.clear_lines(cfg, rows)
     assert int(n[0]) == 2
     out = np.asarray(unpack_board(cfg, cleared))[0]
@@ -107,7 +107,7 @@ def test_count_holes_matches_reference_formula():
     rng = np.random.RandomState(2)
     for _ in range(100):
         board = (rng.rand(cfg.width, cfg.height) < 0.4).astype(float)
-        rows = jnp.asarray(pack_board(cfg, board))[None]
+        rows = jnp.asarray(pack_board(cfg, board))[:, None]
         got = int(E.count_holes(cfg, rows)[0])
         want = int(np.count_nonzero(board.cumsum(axis=1) * ~board.astype(bool)))
         assert got == want
@@ -117,7 +117,7 @@ def test_nonempty_rows_counts_rows_not_max_height():
     cfg = EnvConfig(width=4, height=6)
     b = np.zeros((4, 6))
     b[0, 0] = 1  # one cell at the very top, nothing below: "height" is 1, not 6
-    rows = jnp.asarray(pack_board(cfg, b))[None]
+    rows = jnp.asarray(pack_board(cfg, b))[:, None]
     assert int(E.nonempty_rows(cfg, rows)[0]) == 1
 
 
@@ -135,7 +135,7 @@ def test_sampler_matches_linear_walk():
             if rr <= 0:
                 want = i
                 break
-        got = int(E.sample_piece(jnp.asarray(counts), jnp.array([r]))[0])
+        got = int(E.sample_piece(jnp.asarray(counts).T, jnp.array([r]))[0])
         assert got == want
 
 
@@ -160,8 +160,16 @@ def test_batch_independence():
     s2, _ = E.engine_clear(cfg, s2, injected_r=jnp.array([3, 17], jnp.int32))
     actions = np.random.RandomState(5).randint(0, 7, size=(50, 2))
     rs = np.random.RandomState(6).randint(1, 30, size=(50, 2))
-    sA = jax.tree.map(lambda x: x[0:1], s2)
-    sB = jax.tree.map(lambda x: x[1:2], s2)
+    def bslice(s, lo, hi):
+        return s.replace(
+            rows=s.rows[:, lo:hi], piece=s.piece[lo:hi], rot=s.rot[lo:hi],
+            ax=s.ax[lo:hi], ay=s.ay[lo:hi], lock=s.lock[lo:hi],
+            time=s.time[lo:hi], score=s.score[lo:hi], holes=s.holes[lo:hi],
+            lines_cleared=s.lines_cleared[lo:hi],
+            piece_height=s.piece_height[lo:hi], deaths=s.deaths[lo:hi],
+            shape_counts=s.shape_counts[:, lo:hi], key=s.key)
+    sA = bslice(s2, 0, 1)
+    sB = bslice(s2, 1, 2)
     for t in range(50):
         out2 = E.engine_step(cfg, s2, jnp.asarray(actions[t]),
                              injected_r=jnp.asarray(rs[t]))
@@ -170,10 +178,10 @@ def test_batch_independence():
         outB = E.engine_step(cfg, sB, jnp.asarray(actions[t, 1:2]),
                              injected_r=jnp.asarray(rs[t, 1:2]))
         s2, sA, sB = out2.state, outA.state, outB.state
-        np.testing.assert_array_equal(np.asarray(out2.emitted_rows[0]),
-                                      np.asarray(outA.emitted_rows[0]))
-        np.testing.assert_array_equal(np.asarray(out2.emitted_rows[1]),
-                                      np.asarray(outB.emitted_rows[0]))
+        np.testing.assert_array_equal(np.asarray(out2.emitted_rows[:, 0]),
+                                      np.asarray(outA.emitted_rows[:, 0]))
+        np.testing.assert_array_equal(np.asarray(out2.emitted_rows[:, 1]),
+                                      np.asarray(outB.emitted_rows[:, 0]))
         assert float(out2.reward[0]) == float(outA.reward[0])
         assert float(out2.reward[1]) == float(outB.reward[0])
 
