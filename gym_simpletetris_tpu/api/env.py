@@ -149,6 +149,7 @@ class TetrisVectorEnv:
         self._soft_reset_inj = jax.jit(lambda s, r: soft_reset_fn(cfg, s, r))
         self._render = jax.jit(lambda s: E.render_rows(cfg, s))
         self._vac = jax.jit(lambda s: E.valid_action_count(cfg, s))
+        self._rollout_jit = {}
 
     # -- core API ---------------------------------------------------------------
     def reset(self, key, injected_r=None):
@@ -188,14 +189,20 @@ class TetrisVectorEnv:
         """
         cfg = self.config
 
-        def body(carry, a):
-            s, acc = carry
-            obs, s, r, d, _ = step_fn(cfg, s, a)
-            if with_obs:
-                acc = acc + obs
-            return (s, acc), (r, d)
-
-        obs0 = jnp.zeros((self.batch_size,) + self.observation_space.shape,
-                         dtype=jnp.float32)
-        (final, acc), (rew, done) = jax.lax.scan(body, (state, obs0), actions)
-        return final, acc, rew, done
+        fn = self._rollout_jit.get(with_obs)
+        if fn is None:
+            def rollout(s, acts):
+                def body(carry, a):
+                    st, acc = carry
+                    obs, st, r, d, _ = step_fn(cfg, st, a)
+                    if with_obs:
+                        acc = acc + obs
+                    return (st, acc), (r, d)
+                obs0 = jnp.zeros(
+                    (self.batch_size,) + self.observation_space.shape,
+                    dtype=jnp.float32)
+                (final, acc), (rew, done) = jax.lax.scan(body, (s, obs0), acts)
+                return final, acc, rew, done
+            fn = jax.jit(rollout)
+            self._rollout_jit[with_obs] = fn
+        return fn(state, jnp.asarray(actions))

@@ -1,0 +1,197 @@
+"""On-device DQN actor-learner over the batched env (BASELINE.json config 5).
+
+Everything — env stepping, observation rendering, epsilon-greedy acting, the
+replay ring, TD learning, target sync — lives on device inside one jitted
+``train_step`` (scannable into multi-step chunks). Host sync happens only at
+logging boundaries. Under a data mesh the env batch, replay and learner batch
+shard along ``parallel.mesh.DATA_AXIS``; with replicated params jit inserts the
+gradient all-reduce (ICI psum) automatically.
+
+Double DQN + optional dueling heads; epsilon is linearly annealed on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..core.config import EnvConfig
+from ..core.engine import NUM_ACTIONS
+from ..api.env import build_observation, reset_fn, step_fn
+from ..models.dqn import build_q_network
+from .replay import ReplayState, replay_init, replay_insert, replay_sample
+
+
+@dataclasses.dataclass(frozen=True)
+class DQNConfig:
+    env: EnvConfig = EnvConfig(obs_type="ram", auto_reset=True,
+                               reward_step=True, penalise_holes=True)
+    num_envs: int = 1024
+    buffer_capacity: int = 262144
+    learn_batch: int = 1024
+    gamma: float = 0.99
+    lr: float = 3e-4
+    target_update_period: int = 500    # learner steps between target syncs
+    learn_starts: int = 4096           # transitions before learning begins
+    eps_start: float = 1.0
+    eps_end: float = 0.05
+    eps_decay_steps: int = 100_000
+    double_dqn: bool = True
+    dueling: bool = False
+    max_grad_norm: float = 10.0
+
+    def __post_init__(self):
+        if self.buffer_capacity % self.num_envs:
+            raise ValueError("buffer_capacity must be a multiple of num_envs")
+
+
+@struct.dataclass
+class DQNState:
+    params: Any
+    target_params: Any
+    opt_state: Any
+    replay: ReplayState
+    env_state: Any
+    obs: jnp.ndarray          # current observation [num_envs, ...]
+    key: jnp.ndarray          # PRNG key
+    step: jnp.ndarray         # int32[] — actor steps taken
+    learn_steps: jnp.ndarray  # int32[]
+
+
+def make_train(cfg: DQNConfig):
+    """Returns (init_fn, train_step_fn, train_chunk_fn, network).
+
+    init_fn(key) -> DQNState
+    train_step_fn(state) -> (state, metrics)          # one actor+learner step
+    train_chunk_fn(state, n) -> (state, metrics_mean) # n steps under lax.scan
+    """
+    from ..api import spaces
+
+    ecfg = cfg.env
+    if not ecfg.auto_reset:
+        raise ValueError("DQN training requires env auto_reset=True")
+    obs_shape = spaces.observation_space(ecfg).shape
+    network = build_q_network(ecfg.obs_type, obs_shape, dueling=cfg.dueling)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr))
+
+    def epsilon(step):
+        frac = jnp.clip(step.astype(jnp.float32) / cfg.eps_decay_steps, 0, 1)
+        return cfg.eps_start + frac * (cfg.eps_end - cfg.eps_start)
+
+    def init_fn(key) -> DQNState:
+        k_env, k_net, k_state = jax.random.split(key, 3)
+        obs, env_state = reset_fn(ecfg, cfg.num_envs, k_env)
+        params = network.init(k_net, jnp.zeros((1,) + obs_shape, jnp.float32))
+        return DQNState(
+            params=params,
+            target_params=jax.tree.map(jnp.copy, params),
+            opt_state=tx.init(params),
+            replay=replay_init(cfg.buffer_capacity, obs_shape, cfg.num_envs),
+            env_state=env_state,
+            obs=obs,
+            key=k_state,
+            step=jnp.zeros((), jnp.int32),
+            learn_steps=jnp.zeros((), jnp.int32),
+        )
+
+    def td_loss(params, target_params, batch):
+        q = network.apply(params, batch["obs"])                       # [B, A]
+        q_sel = jnp.take_along_axis(q, batch["action"][:, None], 1)[:, 0]
+        q_next_t = network.apply(target_params, batch["next_obs"])    # [B, A]
+        if cfg.double_dqn:
+            q_next_online = network.apply(params, batch["next_obs"])
+            a_star = jnp.argmax(q_next_online, axis=1)
+            q_next = jnp.take_along_axis(q_next_t, a_star[:, None], 1)[:, 0]
+        else:
+            q_next = q_next_t.max(axis=1)
+        target = batch["reward"] + cfg.gamma * q_next * (
+            1.0 - batch["done"].astype(jnp.float32))
+        err = q_sel - jax.lax.stop_gradient(target)
+        # Huber loss (standard DQN choice; robust to the -100 death spikes)
+        loss = jnp.where(jnp.abs(err) <= 1.0, 0.5 * err * err,
+                         jnp.abs(err) - 0.5)
+        return loss.mean(), (err, q_sel)
+
+    def train_step_fn(state: DQNState):
+        k_eps, k_act, k_sample, key = jax.random.split(state.key, 4)
+
+        # -- actor: epsilon-greedy on the current obs ---------------------------
+        q = network.apply(state.params, state.obs)
+        greedy = jnp.argmax(q, axis=1).astype(jnp.int32)
+        rand_a = jax.random.randint(k_act, (cfg.num_envs,), 0, NUM_ACTIONS)
+        explore = jax.random.uniform(k_eps, (cfg.num_envs,)) < epsilon(state.step)
+        action = jnp.where(explore, rand_a, greedy)
+
+        next_obs, env_state, reward, done, _ = step_fn(ecfg, state.env_state,
+                                                       action)
+        replay = replay_insert(state.replay, state.obs, next_obs, action,
+                               reward, done)
+
+        # -- learner: one TD step once the buffer has warmed up -----------------
+        can_learn = replay.filled >= cfg.learn_starts
+        batch = replay_sample(replay, k_sample, cfg.learn_batch)
+        (loss, (err, q_sel)), grads = jax.value_and_grad(
+            td_loss, has_aux=True)(state.params, state.target_params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(can_learn, new, old),
+            new_params, state.params)
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(can_learn, new, old),
+            opt_state, state.opt_state)
+        learn_steps = state.learn_steps + can_learn.astype(jnp.int32)
+
+        # -- periodic target sync ----------------------------------------------
+        sync = can_learn & (learn_steps % cfg.target_update_period == 0)
+        target_params = jax.tree.map(
+            lambda t, p: jnp.where(sync, p, t), state.target_params, params)
+
+        metrics = {
+            "loss": jnp.where(can_learn, loss, 0.0),
+            "mean_q": q_sel.mean(),
+            "mean_reward": reward.mean(),
+            "episodes_done": done.sum().astype(jnp.float32),
+            "epsilon": epsilon(state.step),
+            "td_abs_err": jnp.abs(err).mean(),
+        }
+        new_state = state.replace(
+            params=params, target_params=target_params, opt_state=opt_state,
+            replay=replay, env_state=env_state, obs=next_obs, key=key,
+            step=state.step + 1, learn_steps=learn_steps)
+        return new_state, metrics
+
+    def train_chunk_fn(state: DQNState, n: int):
+        def body(s, _):
+            s, m = train_step_fn(s)
+            return s, m
+        state, ms = jax.lax.scan(body, state, None, length=n)
+        return state, jax.tree.map(lambda x: x.mean(axis=0), ms)
+
+    return init_fn, train_step_fn, train_chunk_fn, network
+
+
+def train(cfg: DQNConfig, total_steps: int, key=None, chunk: int = 128,
+          log_fn=print):
+    """Host driver: init, scan chunks, log aggregated metrics. Returns DQNState."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    init_fn, _, chunk_fn, _ = make_train(cfg)
+    state = init_fn(key)
+    chunk_jit = jax.jit(partial(chunk_fn, n=chunk))
+    steps = 0
+    while steps < total_steps:
+        state, metrics = chunk_jit(state)
+        steps += chunk
+        if log_fn is not None:
+            host = {k: float(v) for k, v in metrics.items()}
+            host["env_steps"] = steps * cfg.num_envs
+            log_fn(host)
+    return state
