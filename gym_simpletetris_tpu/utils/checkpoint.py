@@ -1,0 +1,37 @@
+"""Checkpoint/resume via orbax.
+
+The reference never serializes env state (``clear()`` is the only reset,
+tetris_env.py:306-315; SURVEY.md §5). Here the entire env state — and the whole
+DQN train state (params, optimizer, replay ring, env batch, counters) — is one
+pytree of arrays, so checkpointing is a single orbax save/restore; sharded
+arrays round-trip with their shardings under orbax's standard handlers.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, tree: Any) -> str:
+    """Save any pytree (EnvState, DQNState, params...) to ``path`` (a directory)."""
+    path = os.path.abspath(path)
+    _ckptr().save(path, tree, force=True)
+    return path
+
+
+def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    """Restore a pytree saved by :func:`save_checkpoint`. Passing ``target``
+    (a matching pytree of arrays) restores with its exact structure/dtypes."""
+    path = os.path.abspath(path)
+    if target is None:
+        return _ckptr().restore(path)
+    import orbax.checkpoint as ocp
+    return _ckptr().restore(path, args=ocp.args.PyTreeRestore(item=target))
