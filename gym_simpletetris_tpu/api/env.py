@@ -29,21 +29,24 @@ from . import spaces
 def build_observation(cfg: EnvConfig, emitted_rows: jnp.ndarray) -> jnp.ndarray:
     """Packed board rows uint32[H, B] (piece burned in) -> obs per cfg.obs_type.
 
-    ram:       float32 [B, W, H] (board[x, y] orientation, tetris_env.py:421-424)
-    grayscale: float32 [B, 84, 84] with values {0, 128, 190} (:426-431; the
-               declared [0,1] Box range mismatch is a reference quirk)
-    rgb:       float32 [B, 84, 84, 3] (:433)
+    ram:       [B, W, H] (board[x, y] orientation, tetris_env.py:421-424)
+    grayscale: [B, 84, 84] with values {0, 128, 190} (:426-431; the declared
+               [0,1] Box range mismatch is a reference quirk)
+    rgb:       [B, 84, 84, 3] (:433)
     extend_dims appends a trailing channel axis for ram/grayscale (:424, :431).
+    dtype: float32 (reference parity, :400) or uint8 (cfg.obs_dtype="uint8" —
+    the native palette; 4x less HBM traffic for image observations).
     """
+    dt = jnp.float32 if cfg.obs_dtype == "float32" else jnp.uint8
     if cfg.obs_type == "ram":
-        obs = unpack_board(cfg, emitted_rows, dtype=jnp.float32)  # [B, W, H]
+        obs = unpack_board(cfg, emitted_rows, dtype=dt)           # [B, W, H]
         return obs[..., None] if cfg.extend_dims else obs
     cells = unpack_rows(cfg, emitted_rows, dtype=jnp.uint8)       # [B, H, W]
     img = rasterize(cells, cfg.height, cfg.width, 84, impl=cfg.raster_impl)
     if cfg.obs_type == "grayscale":
-        obs = img.astype(jnp.float32)
+        obs = img.astype(dt)
         return obs[..., None] if cfg.extend_dims else obs
-    return grayscale_to_rgb(img).astype(jnp.float32)
+    return grayscale_to_rgb(img).astype(dt)
 
 
 def _select_done(done: jnp.ndarray, new: EnvState, old: EnvState) -> EnvState:
@@ -97,7 +100,13 @@ def step_fn(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
     their observation is the reset observation (empty board); reward/done still
     report the terminal transition.
     """
-    out = E.engine_step(cfg, state, action, injected_r=injected_r)
+    if cfg.step_impl == "pallas":
+        from ..ops.pallas_step import engine_step_pallas
+        bb = min(512, state.rows.shape[1])
+        out = engine_step_pallas(cfg, state, action, injected_r=injected_r,
+                                 block_b=bb)
+    else:
+        out = E.engine_step(cfg, state, action, injected_r=injected_r)
     new_state, emitted = out.state, out.emitted_rows
     if cfg.auto_reset:
         cleared_state, cleared_rows = E.engine_clear(cfg, new_state)
@@ -200,7 +209,7 @@ class TetrisVectorEnv:
                     return (st, acc), (r, d)
                 obs0 = jnp.zeros(
                     (self.batch_size,) + self.observation_space.shape,
-                    dtype=jnp.float32)
+                    dtype=jnp.float32)  # f32 accumulator regardless of obs dtype
                 (final, acc), (rew, done) = jax.lax.scan(body, (s, obs0), acts)
                 return final, acc, rew, done
             fn = jax.jit(rollout)

@@ -74,6 +74,12 @@ class TetrisEnv:
         self.observation_space = spaces.observation_space(self.config)
         self.window = None
         self.clock = None
+        # engine attribute parity (tetris_env.py:152-162): action name maps
+        self.value_action_map = {
+            0: "left", 1: "right", 2: "hard_drop", 3: "soft_drop",
+            4: "rotate_left", 5: "rotate_right", 6: "idle"}
+        self.action_value_map = {v: k for k, v in self.value_action_map.items()}
+        self.nb_actions = len(self.value_action_map)
 
     # -- gym API ----------------------------------------------------------------
     def reset(self, return_info: bool = False, injected_r: Optional[int] = None):
@@ -107,6 +113,13 @@ class TetrisEnv:
             "deaths": int(s.deaths[0]),
             "statistics": {n: int(c) for n, c in zip(PIECE_NAMES, counts)},
         }
+
+    def valid_action_count(self) -> int:
+        """Count of actions that would change (shape, anchor)
+        (``TetrisEngine.valid_action_count``, tetris_env.py:222-230)."""
+        if self._state is None:
+            raise RuntimeError("valid_action_count() before reset()")
+        return int(self._venv.valid_action_count(self._state)[0])
 
     def _board(self) -> np.ndarray:
         """(W, H) float board with the active piece burned in."""

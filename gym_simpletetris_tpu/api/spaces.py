@@ -72,7 +72,8 @@ def observation_space(cfg) -> Box:
         shape = (84, 84, 1) if cfg.extend_dims else (84, 84)
     else:  # rgb — extend_dims is ignored by the reference here (:391-392)
         shape = (84, 84, 3)
-    return Box(0, 1, shape, np.float32)
+    dtype = np.float32 if cfg.obs_dtype == "float32" else np.uint8
+    return Box(0, 1, shape, dtype)
 
 
 def action_space() -> Discrete:

@@ -52,6 +52,10 @@ class EnvConfig:
     # --- new, TPU-framework-only knobs ---
     auto_reset: bool = False
     raster_impl: str = "matmul"  # "matmul" (MXU) | "gather"
+    obs_dtype: str = "float32"   # "float32" (reference parity, :400) | "uint8"
+                                 # (native palette, 4x less HBM traffic)
+    step_impl: str = "xla"       # "xla" | "pallas" (fused transition kernel;
+                                 # requires batch % 128 == 0 on real TPU)
 
     def __post_init__(self):
         if not (2 <= self.width <= MAX_WIDTH):
@@ -65,6 +69,10 @@ class EnvConfig:
             raise ValueError(f"obs_type={self.obs_type!r} not in {OBS_TYPES}")
         if self.raster_impl not in ("matmul", "gather"):
             raise ValueError(f"raster_impl={self.raster_impl!r}")
+        if self.obs_dtype not in ("float32", "uint8"):
+            raise ValueError(f"obs_dtype={self.obs_dtype!r}")
+        if self.step_impl not in ("xla", "pallas"):
+            raise ValueError(f"step_impl={self.step_impl!r}")
 
     # -- derived, static helpers ------------------------------------------------
     @property
