@@ -1,0 +1,94 @@
+"""DQN training CLI.
+
+The reference's de-facto train loop is its README random-policy example
+(README.md:36-54); this is the framework's real one. Thin argparse layer over
+``DQNConfig`` (SURVEY.md §5 config plan) with JSONL/stdout metric sinks and
+orbax checkpointing.
+
+    python -m gym_simpletetris_tpu.train.run_dqn --obs ram --num-envs 1024 \
+        --total-steps 100000 --log-jsonl runs/dqn.jsonl --ckpt runs/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+
+from ..core.config import EnvConfig
+from .dqn import DQNConfig, make_train
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--obs", default="ram", choices=["ram", "grayscale", "rgb"])
+    p.add_argument("--width", type=int, default=10)
+    p.add_argument("--height", type=int, default=20)
+    p.add_argument("--reward-step", action="store_true", default=True)
+    p.add_argument("--penalise-holes", action="store_true", default=True)
+    p.add_argument("--advanced-clears", action="store_true")
+    p.add_argument("--lock-delay", type=int, default=0)
+    p.add_argument("--num-envs", type=int, default=1024)
+    p.add_argument("--total-steps", type=int, default=100_000)
+    p.add_argument("--chunk", type=int, default=256)
+    p.add_argument("--buffer", type=int, default=262_144)
+    p.add_argument("--learn-batch", type=int, default=1024)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--gamma", type=float, default=0.99)
+    p.add_argument("--dueling", action="store_true")
+    p.add_argument("--no-double", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-jsonl", default=None)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--ckpt-every", type=int, default=50_000)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    env = EnvConfig(
+        width=args.width, height=args.height, obs_type=args.obs,
+        auto_reset=True, reward_step=args.reward_step,
+        penalise_holes=args.penalise_holes,
+        advanced_clears=args.advanced_clears, lock_delay=args.lock_delay)
+    cfg = DQNConfig(
+        env=env, num_envs=args.num_envs, buffer_capacity=args.buffer,
+        learn_batch=args.learn_batch, lr=args.lr, gamma=args.gamma,
+        dueling=args.dueling, double_dqn=not args.no_double)
+
+    init_fn, _, chunk_fn, _ = make_train(cfg)
+    state = init_fn(jax.random.PRNGKey(args.seed))
+    chunk_jit = jax.jit(lambda s: chunk_fn(s, args.chunk))
+
+    sink = open(args.log_jsonl, "a") if args.log_jsonl else None
+    steps, t0 = 0, time.time()
+    last_ckpt = 0
+    while steps < args.total_steps:
+        state, metrics = chunk_jit(state)
+        steps += args.chunk
+        rec = {k: float(v) for k, v in metrics.items()}
+        rec.update(actor_steps=steps, env_steps=steps * cfg.num_envs,
+                   wall_s=round(time.time() - t0, 2),
+                   sps=round(steps * cfg.num_envs / (time.time() - t0), 1))
+        line = json.dumps(rec)
+        print(line, flush=True)
+        if sink:
+            sink.write(line + "\n")
+            sink.flush()
+        if args.ckpt and steps - last_ckpt >= args.ckpt_every:
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(args.ckpt, state)
+            last_ckpt = steps
+    if args.ckpt:
+        from ..utils.checkpoint import save_checkpoint
+        save_checkpoint(args.ckpt, state)
+    if sink:
+        sink.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()
