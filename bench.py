@@ -91,7 +91,7 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=4096)
     ap.add_argument("--chunk", type=int, default=256)
-    ap.add_argument("--impl", default="matmul", choices=["matmul", "gather"])
+    ap.add_argument("--impl", default="gather", choices=["matmul", "gather"])
     ap.add_argument("--profile-dir", default=None)
     ap.add_argument("--all", action="store_true",
                     help="print one line per obs type to stderr; headline on stdout")

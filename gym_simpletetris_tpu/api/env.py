@@ -190,9 +190,9 @@ class TetrisVectorEnv:
 
         Returns (final_state, obs_acc, reward[T, B], done[T, B]).
 
-        ``with_obs=True`` materializes the observation every step and folds it
-        into a running [B, *obs_shape] accumulator (returned), so the full
-        observation pipeline stays live under XLA's DCE — this is what the
+        ``with_obs=True`` renders the observation every step and folds it into
+        a [B, *obs_shape] accumulator in the obs dtype, keeping the full
+        observation pipeline live under XLA's DCE — this is what the
         throughput bench measures. ``with_obs=False`` benches the bare engine.
         Use cfg.auto_reset for horizons past episode ends.
         """
@@ -205,11 +205,17 @@ class TetrisVectorEnv:
                     st, acc = carry
                     obs, st, r, d, _ = step_fn(cfg, st, a)
                     if with_obs:
+                        # additive accumulator in the obs dtype keeps every
+                        # pixel of every step live under XLA DCE (uint8 adds
+                        # wrap — it's a checksum) while staying loop-in-place
+                        # friendly. (A carry-replace buffer measured
+                        # pathologically slow in XLA's while-loop handling.)
                         acc = acc + obs
                     return (st, acc), (r, d)
                 obs0 = jnp.zeros(
                     (self.batch_size,) + self.observation_space.shape,
-                    dtype=jnp.float32)  # f32 accumulator regardless of obs dtype
+                    dtype=jnp.float32 if cfg.obs_dtype == "float32"
+                    else jnp.uint8)
                 (final, acc), (rew, done) = jax.lax.scan(body, (s, obs0), acts)
                 return final, acc, rew, done
             fn = jax.jit(rollout)

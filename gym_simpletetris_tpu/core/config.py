@@ -51,7 +51,8 @@ class EnvConfig:
     step_reset: bool = False
     # --- new, TPU-framework-only knobs ---
     auto_reset: bool = False
-    raster_impl: str = "matmul"  # "matmul" (MXU) | "gather"
+    raster_impl: str = "gather"  # "gather" | "matmul" (MXU); both pixel-exact,
+                                 # gather measures ~25% faster on v5e @B=4096
     obs_dtype: str = "float32"   # "float32" (reference parity, :400) | "uint8"
                                  # (native palette, 4x less HBM traffic)
     step_impl: str = "xla"       # "xla" | "pallas" (fused transition kernel;

@@ -110,8 +110,10 @@ class ShardedTetrisEnv:
         def rollout(s, actions):
             def body(c, a):
                 o, s2, r, d, _ = step_fn(cfg, c[0], a)
-                return (s2, c[1] + o), (r, d)
-            obs0 = jnp.zeros((global_batch,) + self.obs_shape, jnp.float32)
+                return (s2, c[1] + o), (r, d)   # dtype-matched obs accumulator
+            obs0 = jnp.zeros((global_batch,) + self.obs_shape,
+                             jnp.float32 if cfg.obs_dtype == "float32"
+                             else jnp.uint8)
             (sf, acc), (rew, done) = jax.lax.scan(body, (s, obs0), actions)
             return sf, acc, rew, done
 
