@@ -119,7 +119,8 @@ def test_lock_delay_variants(lock_delay, step_reset):
                  seed=11, n_steps=300, policy_seed=lock_delay * 2 + step_reset)
 
 
-@pytest.mark.parametrize("width,height", [(4, 5), (9, 20), (10, 20), (16, 8), (7, 7)])
+@pytest.mark.parametrize("width,height",
+                         [(4, 5), (9, 20), (10, 20), (16, 8), (7, 7), (24, 8)])
 def test_board_geometries(width, height):
     # odd widths exercise the float-anchor spawn truncation (tetris_env.py:196,244)
     run_lockstep(EnvConfig(width=width, height=height), seed=13,
