@@ -89,8 +89,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--obs", default="ram", choices=["ram", "grayscale", "rgb"])
     ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--steps", type=int, default=4096)
-    ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=16384)
+    ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--impl", default="gather", choices=["matmul", "gather"])
     ap.add_argument("--profile-dir", default=None)
     ap.add_argument("--all", action="store_true",

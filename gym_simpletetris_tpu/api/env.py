@@ -102,7 +102,10 @@ def step_fn(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
     """
     if cfg.step_impl == "pallas":
         from ..ops.pallas_step import engine_step_pallas
-        bb = min(512, state.rows.shape[1])
+        b = state.rows.shape[1]
+        # largest lane-aligned tile that divides the batch; small/unaligned
+        # batches fall back to one whole-batch tile
+        bb = next((t for t in (512, 384, 256, 128) if b % t == 0), b)
         out = engine_step_pallas(cfg, state, action, injected_r=injected_r,
                                  block_b=bb)
     else:
@@ -130,6 +133,34 @@ def make_info(state: EnvState) -> dict:
         "deaths": state.deaths,
         "statistics": state.shape_counts.T,  # [B, 7], batch-major for consumers
     }
+
+
+def build_rollout(cfg: EnvConfig, batch_size: int, obs_shape,
+                  with_obs: bool = True):
+    """Scan-fused multi-step rollout builder shared by the local and sharded
+    envs. Returns a function (state, actions[T, B]) ->
+    (final_state, obs_acc, reward[T, B], done[T, B]).
+
+    ``with_obs=True`` renders the observation every step and folds it into a
+    [B, *obs_shape] accumulator in the obs dtype, keeping the full observation
+    pipeline live under XLA's DCE (an obs-dtype accumulator is loop-in-place
+    friendly; a carry-replace buffer measured pathologically slow in XLA's
+    while-loop handling). ``with_obs=False`` runs the bare engine.
+    """
+    acc_dtype = jnp.float32 if cfg.obs_dtype == "float32" else jnp.uint8
+
+    def rollout(s, acts):
+        def body(carry, a):
+            st, acc = carry
+            obs, st, r, d, _ = step_fn(cfg, st, a)
+            if with_obs:
+                acc = acc + obs
+            return (st, acc), (r, d)
+        obs0 = jnp.zeros((batch_size,) + tuple(obs_shape), dtype=acc_dtype)
+        (final, acc), (rew, done) = jax.lax.scan(body, (s, obs0), acts)
+        return final, acc, rew, done
+
+    return rollout
 
 
 class TetrisVectorEnv:
@@ -200,24 +231,7 @@ class TetrisVectorEnv:
 
         fn = self._rollout_jit.get(with_obs)
         if fn is None:
-            def rollout(s, acts):
-                def body(carry, a):
-                    st, acc = carry
-                    obs, st, r, d, _ = step_fn(cfg, st, a)
-                    if with_obs:
-                        # additive accumulator in the obs dtype keeps every
-                        # pixel of every step live under XLA DCE (uint8 adds
-                        # wrap — it's a checksum) while staying loop-in-place
-                        # friendly. (A carry-replace buffer measured
-                        # pathologically slow in XLA's while-loop handling.)
-                        acc = acc + obs
-                    return (st, acc), (r, d)
-                obs0 = jnp.zeros(
-                    (self.batch_size,) + self.observation_space.shape,
-                    dtype=jnp.float32 if cfg.obs_dtype == "float32"
-                    else jnp.uint8)
-                (final, acc), (rew, done) = jax.lax.scan(body, (s, obs0), acts)
-                return final, acc, rew, done
-            fn = jax.jit(rollout)
+            fn = jax.jit(build_rollout(cfg, self.batch_size,
+                                       self.observation_space.shape, with_obs))
             self._rollout_jit[with_obs] = fn
         return fn(state, jnp.asarray(actions))

@@ -261,6 +261,22 @@ def draw_spawn_r(draw_key, counts: jnp.ndarray) -> jnp.ndarray:
 
 # --------------------------------------------------------------------------- step
 
+def candidate_collisions(cfg: EnvConfig, rows, piece, rot, ax, ay):
+    """Collision of the four in-place move candidates — left, right,
+    rotate-left, rotate-right — at the current anchor row (the shared
+    contract of ``engine_step``'s action selection and
+    ``valid_action_count``). Returns (c_left, c_right, c_rotl, c_rotr)."""
+    win = extract_window(cfg, rows, ay)
+    cand = jnp.stack([
+        piece_masks(piece, rot, ax - 1),
+        piece_masks(piece, rot, ax + 1),
+        piece_masks(piece, rot, ax, rot_delta=-1),
+        piece_masks(piece, rot, ax, rot_delta=+1),
+    ], axis=0)                                                # [4, NROWS, B]
+    c4 = collide_window(cfg, win, cand, ay)                   # [4, B]
+    return c4[0], c4[1], c4[2], c4[3]
+
+
 def engine_step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
                 injected_r: Optional[jnp.ndarray] = None) -> StepOut:
     """One batched transition; operation order tracks tetris_env.py:243-304.
@@ -275,15 +291,8 @@ def engine_step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
 
     # -- action: left/right/rotate candidates at the current anchor row ---------
     # (anchor int-coercion at :244 is implicit: anchors are int32)
-    win = extract_window(cfg, rows, ay)
-    cand = jnp.stack([
-        piece_masks(piece, rot, ax - 1),
-        piece_masks(piece, rot, ax + 1),
-        piece_masks(piece, rot, ax, rot_delta=-1),
-        piece_masks(piece, rot, ax, rot_delta=+1),
-    ], axis=0)                                                # [4, NROWS, B]
-    c4 = collide_window(cfg, win, cand, ay)                   # [4, B]
-    c_left, c_right, c_rotl, c_rotr = c4[0], c4[1], c4[2], c4[3]
+    c_left, c_right, c_rotl, c_rotr = candidate_collisions(
+        cfg, rows, piece, rot, ax, ay)
 
     is_l = action == A_LEFT
     is_r = action == A_RIGHT
@@ -448,14 +457,8 @@ def valid_action_count(cfg: EnvConfig, state: EnvState) -> jnp.ndarray:
     rotated offset-list never compares equal to the original, so rotations
     count iff unobstructed; soft_drop and hard_drop each count iff one soft
     drop is possible."""
-    win = extract_window(cfg, state.rows, state.ay)
-    cand = jnp.stack([
-        piece_masks(state.piece, state.rot, state.ax - 1),
-        piece_masks(state.piece, state.rot, state.ax + 1),
-        piece_masks(state.piece, state.rot, state.ax, rot_delta=-1),
-        piece_masks(state.piece, state.rot, state.ax, rot_delta=+1),
-    ], axis=0)
-    c4 = collide_window(cfg, win, cand, state.ay)
+    c4 = jnp.stack(candidate_collisions(
+        cfg, state.rows, state.piece, state.rot, state.ax, state.ay), axis=0)
     win_dn = extract_window(cfg, state.rows, state.ay + 1)
     m_cur = piece_masks(state.piece, state.rot, state.ax)
     c_soft = collide_window(cfg, win_dn, m_cur[None], state.ay + 1)[0]

@@ -28,7 +28,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.config import EnvConfig
 from ..core import engine as E
 from ..core.state import EnvState, init_state
-from ..api.env import build_observation, make_info, step_fn, reset_fn
+from ..api.env import (build_observation, build_rollout, make_info, step_fn,
+                       reset_fn)
 
 DATA_AXIS = "data"
 
@@ -107,18 +108,8 @@ class ShardedTetrisEnv:
             out_shardings=(sh_obs, sh_state, sh_vec, sh_vec, None),
             donate_argnums=(0,))
 
-        def rollout(s, actions):
-            def body(c, a):
-                o, s2, r, d, _ = step_fn(cfg, c[0], a)
-                return (s2, c[1] + o), (r, d)   # dtype-matched obs accumulator
-            obs0 = jnp.zeros((global_batch,) + self.obs_shape,
-                             jnp.float32 if cfg.obs_dtype == "float32"
-                             else jnp.uint8)
-            (sf, acc), (rew, done) = jax.lax.scan(body, (s, obs0), actions)
-            return sf, acc, rew, done
-
         self._rollout = jax.jit(
-            rollout,
+            build_rollout(cfg, global_batch, self.obs_shape),
             in_shardings=(sh_state, NamedSharding(self.mesh, P(None, DATA_AXIS))),
             donate_argnums=(0,))
 

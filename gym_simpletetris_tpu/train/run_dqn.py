@@ -27,8 +27,10 @@ def parse_args(argv=None):
     p.add_argument("--obs", default="ram", choices=["ram", "grayscale", "rgb"])
     p.add_argument("--width", type=int, default=10)
     p.add_argument("--height", type=int, default=20)
-    p.add_argument("--reward-step", action="store_true", default=True)
-    p.add_argument("--penalise-holes", action="store_true", default=True)
+    p.add_argument("--reward-step", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--penalise-holes", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--advanced-clears", action="store_true")
     p.add_argument("--lock-delay", type=int, default=0)
     p.add_argument("--num-envs", type=int, default=1024)

@@ -33,7 +33,19 @@ def reference_available() -> bool:
 
 
 def _install_stubs():
-    if "gym" not in sys.modules or not hasattr(sys.modules.get("gym"), "Env"):
+    # Only stub what genuinely cannot be imported — clobbering an importable
+    # module (e.g. real pygame) would break unrelated tests that use it.
+    try:
+        import pygame  # noqa: F401
+        have_pygame = True
+    except ImportError:
+        have_pygame = False
+    try:
+        import gym  # noqa: F401
+        have_gym = hasattr(sys.modules.get("gym"), "Env")
+    except ImportError:
+        have_gym = False
+    if not have_gym:
         gym = types.ModuleType("gym")
 
         class _Env:
@@ -56,7 +68,7 @@ def _install_stubs():
         gym.spaces = spaces
         sys.modules["gym"] = gym
         sys.modules["gym.spaces"] = spaces
-    if "pygame" not in sys.modules:
+    if not have_pygame and "pygame" not in sys.modules:
         sys.modules["pygame"] = types.ModuleType("pygame")
     if not hasattr(np, "float"):
         np.float = float  # type: ignore[attr-defined]
