@@ -1,0 +1,48 @@
+"""Throughput-floor tests (SURVEY.md §4.5) and sampler statistics.
+
+The floor test only runs on real TPU (the CI suite forces CPU where absolute
+floors are meaningless); the driver's bench run provides the headline number.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_simpletetris_tpu import EnvConfig, TetrisVectorEnv
+from gym_simpletetris_tpu.core import engine as E
+from gym_simpletetris_tpu.core.state import init_state
+
+
+def test_piece_sampler_is_count_balancing():
+    """The threefry sampler must reproduce the reference's count-balanced
+    distribution: weights 5 + max(counts) - counts (tetris_env.py:183-191).
+    With skewed counts, the starved piece must be drawn ~max_weight/sum more
+    often than the saturated one."""
+    counts = jnp.asarray(
+        np.array([[20, 0, 10, 10, 10, 10, 10]], np.int32).T)  # [7, 1]
+    counts = jnp.tile(counts, (1, 20000))                     # [7, B]
+    key = jax.random.wrap_key_data(jnp.array([1, 2], jnp.uint32))
+    r = E.draw_spawn_r(key, counts)
+    pieces = np.asarray(E.sample_piece(counts, r))
+    freq = np.bincount(pieces, minlength=7) / pieces.size
+    m = np.array([5, 25, 15, 15, 15, 15, 15], float)
+    expect = m / m.sum()
+    np.testing.assert_allclose(freq, expect, atol=0.01)
+
+
+@pytest.mark.skipif("cpu" in jax.devices()[0].platform.lower(),
+                    reason="absolute throughput floors only meaningful on TPU")
+def test_tpu_throughput_floor():
+    import time
+    env = TetrisVectorEnv(EnvConfig(auto_reset=True), 4096)
+    _, state = env.reset(jax.random.PRNGKey(0))
+    acts = jax.random.randint(jax.random.PRNGKey(1), (256, 4096), 0, 7)
+    out = env.rollout(state, acts)
+    np.asarray(out[2].sum())
+    t0 = time.time()
+    out = env.rollout(out[0], acts)
+    np.asarray(out[2].sum())
+    sps = 256 * 4096 / (time.time() - t0)
+    # generous floor: >10M north star with 3x margin for noisy neighbors
+    assert sps > 3_000_000, f"ram throughput regressed: {sps:,.0f} steps/s"
