@@ -1,0 +1,95 @@
+"""Policy evaluation CLI: random / heuristic / trained checkpoints, one table.
+
+    python -m gym_simpletetris_tpu.train.evaluate --policies random heuristic \
+        --episodeish-steps 1000 --num-envs 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import EnvConfig
+from ..api.env import TetrisVectorEnv
+from ..api.wrappers import EpisodeStats
+
+
+def evaluate_policy(env: TetrisVectorEnv, action_fn, steps: int, seed: int) -> dict:
+    """Roll ``steps`` with ``action_fn(obs, state) -> actions``; aggregate
+    episode stats over the batch."""
+    es = EpisodeStats(env)
+    obs, state = es.reset(jax.random.PRNGKey(seed))
+    step = jax.jit(es.step)
+    for t in range(steps):
+        obs, state, r, d, info = step(state, action_fn(obs, state.env_state))
+    eps = np.asarray(state.episodes)
+    rets = np.asarray(state.last_return)
+    lens = np.asarray(state.last_length)
+    mask = eps > 0
+    return {
+        "episodes": int(eps.sum()),
+        "mean_return": round(float(rets[mask].mean()), 2) if mask.any() else None,
+        "mean_length": round(float(lens[mask].mean()), 2) if mask.any() else None,
+        "total_lines": int(np.asarray(state.env_state.lines_cleared).sum()),
+        "total_deaths": int(np.asarray(state.env_state.deaths).sum()),
+    }
+
+
+def make_action_fn(name: str, cfg: EnvConfig, batch: int, ckpt: str = None,
+                   seed: int = 0):
+    if name == "random":
+        rng = np.random.RandomState(seed)
+        return lambda obs, st: jnp.asarray(rng.randint(0, 7, batch))
+    if name == "heuristic":
+        from ..models.heuristic import make_heuristic_policy
+        pol = make_heuristic_policy(cfg)
+        return lambda obs, st: pol(st)
+    if name == "dqn":
+        if ckpt is None:
+            raise ValueError("--ckpt required for the dqn policy")
+        from ..models.dqn import build_q_network
+        from ..utils.checkpoint import restore_checkpoint
+        from ..api import spaces
+        net = build_q_network(cfg.obs_type, spaces.observation_space(cfg).shape)
+        tree = restore_checkpoint(ckpt)
+        params = tree["params"] if isinstance(tree, dict) and "params" in tree \
+            else tree.params
+
+        @jax.jit
+        def act(obs):
+            return jnp.argmax(net.apply(params, obs), axis=1).astype(jnp.int32)
+        return lambda obs, st: act(obs)
+    raise ValueError(f"unknown policy {name!r}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--policies", nargs="+", default=["random", "heuristic"])
+    p.add_argument("--obs", default="ram", choices=["ram", "grayscale", "rgb"])
+    p.add_argument("--width", type=int, default=10)
+    p.add_argument("--height", type=int, default=20)
+    p.add_argument("--reward-step", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--num-envs", type=int, default=256)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = EnvConfig(width=args.width, height=args.height, obs_type=args.obs,
+                    auto_reset=True, reward_step=args.reward_step)
+    env = TetrisVectorEnv(cfg, args.num_envs)
+    results = {}
+    for name in args.policies:
+        fn = make_action_fn(name, cfg, args.num_envs, args.ckpt, args.seed)
+        results[name] = evaluate_policy(env, fn, args.steps, args.seed)
+        print(json.dumps({name: results[name]}), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()

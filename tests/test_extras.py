@@ -90,3 +90,24 @@ def test_pallas_step_via_env_api():
             np.testing.assert_array_equal(np.asarray(rP), np.asarray(rX))
     finally:
         PS._build_step = orig
+
+
+def test_evaluate_cli():
+    from gym_simpletetris_tpu.train.evaluate import main
+    r = main(["--policies", "random", "heuristic", "--num-envs", "8",
+              "--steps", "80", "--width", "6", "--height", "8"])
+    assert set(r) == {"random", "heuristic"}
+    assert r["random"]["episodes"] > 0
+
+
+def test_long_horizon_parity_with_resets():
+    """1000-step lockstep incl. many episode resets (cross-episode carry-over
+    exercised at length)."""
+    import pytest
+    from reference_oracle import reference_available
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    from test_parity_engine import run_lockstep
+    from gym_simpletetris_tpu.core.config import EnvConfig
+    run_lockstep(EnvConfig(reward_step=True, advanced_clears=True),
+                 seed=99, n_steps=1000, policy_seed=99)
