@@ -99,3 +99,13 @@ def test_shard_map_step_runs_and_decorrelates(mesh):
 def test_init_distributed_noop():
     from gym_simpletetris_tpu.parallel.mesh import init_distributed
     init_distributed()  # single host, no coordinator: must be a no-op
+
+
+def test_collective_bench_runs(mesh):
+    from gym_simpletetris_tpu.parallel.collective_bench import bench_collectives
+    out = bench_collectives(mesh, mb=0.5, iters=2)
+    assert out["devices"] == 8
+    ops = {r["op"] for r in out["results"]}
+    assert ops == {"psum", "all_gather_sum", "ppermute"}
+    for r in out["results"]:
+        assert r["seconds"] > 0
