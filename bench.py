@@ -50,9 +50,10 @@ def bench_one(obs_type: str, batch: int, steps: int, chunk: int, impl: str,
     akey = jax.random.PRNGKey(1)
     actions = jax.random.randint(akey, (chunk, batch), 0, 7, dtype=jnp.int32)
 
-    # warmup / compile
+    # warmup / compile (synchronize via host fetch — block_until_ready is not
+    # a reliable barrier on the remote axon backend, see CLAUDE.md)
     state_w, acc, rew, done = env.rollout(state, actions)
-    jax.block_until_ready(acc)
+    np.asarray(rew[-1, :1])
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -62,7 +63,7 @@ def bench_one(obs_type: str, batch: int, steps: int, chunk: int, impl: str,
     for i in range(n_chunks):
         state, acc, rew, done = env.rollout(state, actions)
         total_done = total_done + done.sum()
-    jax.block_until_ready((state.rows, acc, total_done))
+    total_done_host = int(np.asarray(total_done))  # host fetch = real barrier
     dt = time.perf_counter() - t0
 
     if profile_dir:
@@ -78,7 +79,7 @@ def bench_one(obs_type: str, batch: int, steps: int, chunk: int, impl: str,
         "_detail": {
             "obs_type": obs_type, "batch": batch,
             "timed_env_steps": int(n_steps), "wall_s": round(dt, 4),
-            "episodes_finished": int(total_done),
+            "episodes_finished": total_done_host,
             "device": str(jax.devices()[0]).replace(" ", "_"),
             "raster_impl": impl,
         },

@@ -27,7 +27,9 @@ class Discrete(Space):
         self.dtype = np.int64
 
     def sample(self, rng=None):
-        rng = rng or np.random
+        rng = rng if rng is not None else np.random
+        if hasattr(rng, "integers"):   # numpy Generator API
+            return int(rng.integers(0, self.n))
         return int(rng.randint(0, self.n))
 
     def contains(self, x) -> bool:

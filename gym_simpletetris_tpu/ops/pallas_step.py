@@ -38,7 +38,7 @@ from ..core.config import EnvConfig, XSHIFT
 from ..core.pieces import ROWMASKS_FLAT, NROWS, DY_OFF
 from ..core.engine import (
     StepOut, A_LEFT, A_RIGHT, A_HARD, A_SOFT, A_ROTL, A_ROTR,
-    _SCORES_TAB, draw_spawn_r, _advance_key, sample_piece)
+    _SCORES_TAB, draw_spawn_r, _advance_key)
 from ..core.state import EnvState
 
 _U32 = jnp.uint32

@@ -28,7 +28,7 @@ def bench_collectives(mesh, mb: float = 64.0, iters: int = 10) -> dict:
     per_dev = int(mb * 1e6 / 4)
     x = jnp.ones((n * per_dev,), jnp.float32)
 
-    def run(name, fn):
+    def run(name, fn, bytes_per_device):
         f = jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=P(DATA_AXIS),
                                   out_specs=P(DATA_AXIS), check_vma=False))
         out = f(x)
@@ -38,16 +38,22 @@ def bench_collectives(mesh, mb: float = 64.0, iters: int = 10) -> dict:
             out = f(out if out.shape == x.shape else x)
         np.asarray(out[:1])
         dt = (time.perf_counter() - t0) / iters
-        moved = per_dev * 4 * 2 * (n - 1) / n  # ring algorithm bytes/device
         return {"op": name, "seconds": round(dt, 6),
-                "algo_GBps_per_device": round(moved / dt / 1e9, 3)}
+                "algo_GBps_per_device": round(bytes_per_device / dt / 1e9, 3)}
 
+    shard_bytes = per_dev * 4
     res = [
-        run("psum", lambda s: jax.lax.psum(s, DATA_AXIS) / n),
+        # ring all-reduce: reduce-scatter + all-gather = 2*(n-1)/n shards moved
+        run("psum", lambda s: jax.lax.psum(s, DATA_AXIS) / n,
+            shard_bytes * 2 * (n - 1) / n),
+        # ring all-gather: each device sends/receives (n-1) shards
         run("all_gather_sum",
-            lambda s: jax.lax.all_gather(s, DATA_AXIS).sum(axis=0)),
+            lambda s: jax.lax.all_gather(s, DATA_AXIS).sum(axis=0),
+            shard_bytes * (n - 1)),
+        # ppermute: one shard per device
         run("ppermute", lambda s: jax.lax.ppermute(
-            s, DATA_AXIS, [(i, (i + 1) % n) for i in range(n)])),
+            s, DATA_AXIS, [(i, (i + 1) % n) for i in range(n)]),
+            shard_bytes),
     ]
     return {"devices": n, "mb_per_device": mb, "results": res}
 

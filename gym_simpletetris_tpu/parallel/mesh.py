@@ -169,16 +169,18 @@ def shard_map_step(cfg: EnvConfig, mesh: Mesh):
         check_vma=False)
 
 
-def global_metrics(state: EnvState, mesh: Mesh) -> dict:
+@jax.jit
+def _aggregate_metrics(s: EnvState):
+    return {
+        "total_deaths": s.deaths.sum(),
+        "total_lines": s.lines_cleared.sum(),
+        "mean_score": s.score.mean(),
+        "mean_holes": s.holes.mean(),
+        "env_steps": s.time.sum(),
+    }
+
+
+def global_metrics(state: EnvState, mesh: Mesh = None) -> dict:
     """Cross-host/chip aggregate episode metrics via one jitted reduction
-    (runs as ICI/DCN collectives when the state is sharded)."""
-    @jax.jit
-    def agg(s: EnvState):
-        return {
-            "total_deaths": s.deaths.sum(),
-            "total_lines": s.lines_cleared.sum(),
-            "mean_score": s.score.mean(),
-            "mean_holes": s.holes.mean(),
-            "env_steps": s.time.sum(),
-        }
-    return {k: v for k, v in agg(state).items()}
+    (compiled once; runs as ICI/DCN collectives when the state is sharded)."""
+    return dict(_aggregate_metrics(state))

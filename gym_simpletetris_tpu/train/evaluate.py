@@ -1,7 +1,7 @@
 """Policy evaluation CLI: random / heuristic / trained checkpoints, one table.
 
     python -m gym_simpletetris_tpu.train.evaluate --policies random heuristic \
-        --episodeish-steps 1000 --num-envs 256
+        --steps 1000 --num-envs 256
 """
 
 from __future__ import annotations

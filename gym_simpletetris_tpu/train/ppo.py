@@ -42,7 +42,8 @@ class PPOConfig:
 
     def __post_init__(self):
         if (self.num_envs * self.rollout_len) % self.num_minibatches:
-            raise ValueError("num_envs*rollout_len must divide num_minibatches")
+            raise ValueError(
+                "num_envs*rollout_len must be divisible by num_minibatches")
 
 
 @struct.dataclass

@@ -139,17 +139,45 @@ def test_sampler_matches_linear_walk():
         assert got == want
 
 
-def test_stale_lock_counter_no_step_reset():
-    """§2.2 [verified] quirk: without step_reset a stale counter carries over a
-    ledge slide; with lock_delay=1 a piece that rested once, slid off, and rests
-    again locks on its first new resting step (counter wraps 1 -> 0)."""
-    cfg = EnvConfig(width=6, height=6, lock_delay=1, step_reset=False)
-    # build a ledge: column of filled cells at x=0..2, y=3 (so a piece resting
-    # at y=2 on the ledge can slide right and fall further)
+def _ledge_state(cfg):
+    """O piece resting at (ax=1, ay=2) on a 2-cell ledge at y=3, x in {0,1}."""
+    board = np.zeros((cfg.width, cfg.height))
+    board[0, 3] = board[1, 3] = 1
     state = init_state(cfg, 1, jax.random.PRNGKey(0))
-    state, _ = E.engine_clear(cfg, state, injected_r=jnp.array([1], jnp.int32))
-    # Instead of crafting boards, assert FSM arithmetic directly:
-    assert cfg.lock_modulus == 2
+    state, _ = E.engine_clear(cfg, state, injected_r=jnp.array([31], jnp.int32))
+    assert PIECE_NAMES[int(state.piece[0])] == "O"
+    return state.replace(
+        rows=jnp.asarray(pack_board(cfg, board))[:, None],
+        ax=jnp.array([1], jnp.int32), ay=jnp.array([2], jnp.int32),
+        lock=jnp.array([0], jnp.int32))
+
+
+def _lock_step_index(cfg, actions):
+    """Step the crafted ledge scenario; return the step at which the piece
+    locks (detected by the post-lock respawn at ay == 0)."""
+    state = _ledge_state(cfg)
+    for i, a in enumerate(actions):
+        out = E.engine_step(cfg, state, jnp.array([a], jnp.int32),
+                            injected_r=jnp.array([1], jnp.int32))
+        state = out.state
+        if int(state.ay[0]) == 0:
+            return i
+    return None
+
+
+def test_stale_lock_counter_across_ledge_slide():
+    """§2.2 [verified] quirk (tetris_env.py:175,:248-249,:260): without
+    step_reset the lock counter goes stale across a ledge slide — the O piece
+    rests twice (counter -> 2 of modulus 3), slides off, falls to the floor,
+    and locks on its *first* new resting step (2 -> 0). With step_reset the
+    gravity move clears the counter, so it locks two steps later."""
+    actions = [6, 1, 1, 6, 6, 6, 6, 6, 6]  # idle, right, right, idle...
+    no_reset = _lock_step_index(
+        EnvConfig(width=6, height=6, lock_delay=2, step_reset=False), actions)
+    with_reset = _lock_step_index(
+        EnvConfig(width=6, height=6, lock_delay=2, step_reset=True), actions)
+    assert no_reset == 4   # rest(c1), rest(c2), fall, fall, rest -> c wraps: lock
+    assert with_reset == 6  # counter cleared by the fall: 3 fresh resting steps
 
 
 def test_batch_independence():
