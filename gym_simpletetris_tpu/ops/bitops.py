@@ -22,13 +22,20 @@ def unpack_cells(cfg: EnvConfig, rows: jnp.ndarray, dtype=jnp.uint8) -> jnp.ndar
 
 
 def unpack_rows(cfg: EnvConfig, rows: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """uint32[H, B] -> dense [B, H, W] (batch-major, image orientation)."""
-    return unpack_cells(cfg, rows, dtype).transpose(2, 0, 1)
+    """uint32[H, B] -> dense [B, H, W] (batch-major, image orientation).
+    Transposes the packed [H, B] first (a cheap 2D transpose) and unpacks
+    bits in the target layout, avoiding a strided 3D transpose of the
+    W-times-larger dense array."""
+    shifts = (jnp.arange(cfg.width, dtype=jnp.uint32) + XSHIFT)[None, None, :]
+    bits = (rows.T[:, :, None] >> shifts) & jnp.uint32(1)     # [B, H, W]
+    return bits.astype(dtype)
 
 
 def unpack_board(cfg: EnvConfig, rows: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """uint32[H, B] -> dense [B, W, H] in the reference's board[x, y] orientation."""
-    return unpack_cells(cfg, rows, dtype).transpose(2, 1, 0)
+    shifts = (jnp.arange(cfg.width, dtype=jnp.uint32) + XSHIFT)[None, :, None]
+    bits = (rows.T[:, None, :] >> shifts) & jnp.uint32(1)     # [B, W, H]
+    return bits.astype(dtype)
 
 
 def pack_board(cfg: EnvConfig, board: np.ndarray) -> np.ndarray:

@@ -45,6 +45,7 @@ class DQNConfig:
     double_dqn: bool = True
     dueling: bool = False
     max_grad_norm: float = 10.0
+    frame_stack: int = 1   # >1 stacks the last K obs on a trailing channel axis
 
     def __post_init__(self):
         if self.buffer_capacity % self.num_envs:
@@ -76,8 +77,21 @@ def make_train(cfg: DQNConfig):
     ecfg = cfg.env
     if not ecfg.auto_reset:
         raise ValueError("DQN training requires env auto_reset=True")
-    obs_shape = spaces.observation_space(ecfg).shape
+    base_shape = spaces.observation_space(ecfg).shape
+    k = cfg.frame_stack
+    obs_shape = base_shape + (k,) if k > 1 else base_shape
     network = build_q_network(ecfg.obs_type, obs_shape, dueling=cfg.dueling)
+
+    def _stack_reset(obs):
+        return jnp.repeat(obs[..., None], k, axis=-1) if k > 1 else obs
+
+    def _stack_next(frames, obs, done):
+        """Shift the stack; restart it from the reset obs where done."""
+        if k == 1:
+            return obs
+        nxt = jnp.concatenate([frames[..., 1:], obs[..., None]], axis=-1)
+        d = done.reshape(done.shape + (1,) * (nxt.ndim - 1))
+        return jnp.where(d, _stack_reset(obs), nxt)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adam(cfg.lr))
@@ -89,6 +103,7 @@ def make_train(cfg: DQNConfig):
     def init_fn(key) -> DQNState:
         k_env, k_net, k_state = jax.random.split(key, 3)
         obs, env_state = reset_fn(ecfg, cfg.num_envs, k_env)
+        obs = _stack_reset(obs)
         params = network.init(k_net, jnp.zeros((1,) + obs_shape, jnp.float32))
         return DQNState(
             params=params,
@@ -130,8 +145,9 @@ def make_train(cfg: DQNConfig):
         explore = jax.random.uniform(k_eps, (cfg.num_envs,)) < epsilon(state.step)
         action = jnp.where(explore, rand_a, greedy)
 
-        next_obs, env_state, reward, done, _ = step_fn(ecfg, state.env_state,
+        raw_next, env_state, reward, done, _ = step_fn(ecfg, state.env_state,
                                                        action)
+        next_obs = _stack_next(state.obs, raw_next, done)
         replay = replay_insert(state.replay, state.obs, next_obs, action,
                                reward, done)
 

@@ -100,3 +100,20 @@ def test_dqn_sharded_train_step():
     state, metrics = jax.jit(lambda s: chunk_fn(s, 4))(state)
     assert int(state.step) == 4
     assert np.isfinite(float(metrics["mean_q"]))
+
+
+def test_dqn_frame_stack():
+    cfg = DQNConfig(
+        env=EnvConfig(obs_type="grayscale", auto_reset=True, width=6, height=8),
+        num_envs=4, buffer_capacity=64, learn_batch=8, learn_starts=8,
+        frame_stack=4)
+    init_fn, step_fn, chunk_fn, net = make_train(cfg)
+    state = init_fn(jax.random.PRNGKey(0))
+    assert state.obs.shape == (4, 84, 84, 4)
+    # reset: all stacked frames identical
+    assert float(jnp.abs(state.obs[..., 0] - state.obs[..., 3]).max()) == 0
+    prev_newest = state.obs[..., 3]
+    state, metrics = jax.jit(lambda s: chunk_fn(s, 3))(state)
+    assert state.obs.shape == (4, 84, 84, 4)
+    assert state.replay.obs.shape == (64, 84, 84, 4)
+    assert np.isfinite(float(metrics["mean_q"]))
