@@ -1,0 +1,20 @@
+"""Native batched API: 4096 boards in lockstep, scan-fused rollout on TPU."""
+
+import jax
+import numpy as np
+
+from gym_simpletetris_tpu import EnvConfig, TetrisVectorEnv
+
+env = TetrisVectorEnv(EnvConfig(obs_type="ram", auto_reset=True), 4096)
+obs, state = env.reset(jax.random.PRNGKey(0))
+actions = jax.random.randint(jax.random.PRNGKey(1), (512, 4096), 0, 7)
+
+import time
+final, acc, rew, done = env.rollout(state, actions)   # compile + warmup
+np.asarray(rew[-1, :1])
+t0 = time.time()
+final, acc, rew, done = env.rollout(final, actions)
+np.asarray(rew[-1, :1])
+dt = time.time() - t0
+print(f"{512 * 4096 / dt / 1e6:.1f}M env-steps/s; "
+      f"{int(done.sum())} episodes finished in this rollout")

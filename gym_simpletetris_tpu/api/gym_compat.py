@@ -32,6 +32,86 @@ from .env import TetrisVectorEnv
 from . import spaces
 
 
+class _EngineView:
+    """Read-only adapter exposing reference-TetrisEngine attribute names
+    (tetris_env.py:125-181) over the packed batched state."""
+
+    def __init__(self, env: "TetrisEnv"):
+        self._env = env
+
+    def _s(self):
+        if self._env._state is None:
+            raise RuntimeError("engine state unavailable before reset()")
+        return self._env._state
+
+    @property
+    def board(self) -> np.ndarray:
+        """(W, H) float board, piece erased — the persistent board between
+        steps, exactly like the reference's ``engine.board``."""
+        return np.asarray(
+            unpack_board(self._env.config, self._s().rows)[0], dtype=float)
+
+    @property
+    def anchor(self):
+        s = self._s()
+        return (int(s.ax[0]), int(s.ay[0]))
+
+    @property
+    def shape_name(self) -> str:
+        return PIECE_NAMES[int(self._s().piece[0])]
+
+    @property
+    def shape(self):
+        """Current piece offsets [(dx, dy), ...] at its current rotation."""
+        from ..core.pieces import OFFSETS
+        s = self._s()
+        return [tuple(c) for c in
+                OFFSETS[int(s.piece[0]), int(s.rot[0])].tolist()]
+
+    @property
+    def shape_counts(self) -> dict:
+        counts = np.asarray(self._s().shape_counts[:, 0])
+        return {n: int(c) for n, c in zip(PIECE_NAMES, counts)}
+
+    @property
+    def time(self) -> int:
+        return int(self._s().time[0])
+
+    @property
+    def score(self) -> int:
+        return int(self._s().score[0])
+
+    @property
+    def holes(self) -> int:
+        return int(self._s().holes[0])
+
+    @property
+    def lines_cleared(self) -> int:
+        return int(self._s().lines_cleared[0])
+
+    @property
+    def n_deaths(self) -> int:
+        return int(self._s().deaths[0])
+
+    @property
+    def width(self) -> int:
+        return self._env.width
+
+    @property
+    def height(self) -> int:
+        return self._env.height
+
+    def valid_action_count(self) -> int:
+        return self._env.valid_action_count()
+
+    def render(self) -> np.ndarray:
+        """Board copy with the piece burned in (tetris_env.py:317-321)."""
+        return self._env._board().astype(float)
+
+    def get_info(self) -> dict:
+        return self._env._get_info()
+
+
 class TetrisEnv:
     """Drop-in, old-gym-API SimpleTetris backed by the TPU-native engine."""
 
@@ -113,6 +193,13 @@ class TetrisEnv:
             "deaths": int(s.deaths[0]),
             "statistics": {n: int(c) for n, c in zip(PIECE_NAMES, counts)},
         }
+
+    @property
+    def engine(self):
+        """Read-only view with the reference TetrisEngine's public attribute
+        names (board/anchor/shape_name/... — tetris_env.py:125-181), for user
+        code that pokes ``env.engine`` directly."""
+        return _EngineView(self)
 
     def valid_action_count(self) -> int:
         """Count of actions that would change (shape, anchor)

@@ -116,3 +116,20 @@ def test_gymnasium_registration():
 
 def test_piece_names_export():
     assert PIECE_NAMES == ("T", "J", "L", "Z", "S", "I", "O")
+
+
+def test_engine_view_attributes():
+    """env.engine exposes the reference TetrisEngine attribute surface."""
+    env = make("SimpleTetris-v0", width=6, height=8)
+    env.reset()
+    eng = env.engine
+    assert eng.board.shape == (6, 8)
+    assert isinstance(eng.anchor, tuple) and len(eng.anchor) == 2
+    assert eng.shape_name in PIECE_NAMES
+    assert len(eng.shape) == 4 and all(len(c) == 2 for c in eng.shape)
+    assert sum(eng.shape_counts.values()) == 1
+    assert eng.time == 0 and eng.score == 0 and eng.n_deaths == 0
+    env.step(2)
+    assert eng.render().shape == (6, 8)     # board WITH piece burned in
+    assert eng.valid_action_count() >= 0
+    assert eng.get_info()["time"] == 1
