@@ -51,8 +51,9 @@ class EnvConfig:
     step_reset: bool = False
     # --- new, TPU-framework-only knobs ---
     auto_reset: bool = False
-    raster_impl: str = "gather"  # "gather" | "matmul" (MXU); both pixel-exact,
-                                 # gather measures ~25% faster on v5e @B=4096
+    raster_impl: str = "gather"  # "gather" | "matmul" (MXU) | "pallas"
+                                 # (fused kernel); all pixel-exact; gather
+                                 # measures fastest in-scan on v5e @B=4096
     obs_dtype: str = "float32"   # "float32" (reference parity, :400) | "uint8"
                                  # (native palette, 4x less HBM traffic)
     step_impl: str = "xla"       # "xla" | "pallas" (fused transition kernel;
@@ -68,7 +69,7 @@ class EnvConfig:
             raise ValueError(f"height={self.height} must be >= 2")
         if self.obs_type not in OBS_TYPES:
             raise ValueError(f"obs_type={self.obs_type!r} not in {OBS_TYPES}")
-        if self.raster_impl not in ("matmul", "gather"):
+        if self.raster_impl not in ("matmul", "gather", "pallas"):
             raise ValueError(f"raster_impl={self.raster_impl!r}")
         if self.obs_dtype not in ("float32", "uint8"):
             raise ValueError(f"obs_dtype={self.obs_dtype!r}")
