@@ -219,3 +219,16 @@ def test_config_validation():
         EnvConfig(width=30)
     with pytest.raises(ValueError):
         EnvConfig(obs_type="nope")
+
+
+def test_tall_board_h64():
+    """H is unbounded (rows are packed along W only): a 10x64 board plays."""
+    cfg = EnvConfig(width=10, height=64)
+    state = init_state(cfg, 2, jax.random.PRNGKey(0))
+    state, _ = E.engine_clear(cfg, state, injected_r=jnp.array([1, 9], jnp.int32))
+    for t in range(80):
+        out = E.engine_step(cfg, state, jnp.full((2,), 2, jnp.int32),
+                            injected_r=jnp.array([t % 30 + 1] * 2, jnp.int32))
+        state = out.state
+    assert int(state.lines_cleared.sum()) >= 0
+    assert int(state.ay.max()) < 64 and int(state.time[0]) == 80

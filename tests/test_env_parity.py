@@ -80,3 +80,8 @@ def test_rgb_array_render_parity():
         if rdone:
             _, draws = ref.reset()
             ours.reset(injected_r=draws[0])
+
+
+def test_rgb_extend_dims_ignored_like_reference():
+    # the reference ignores extend_dims for rgb (tetris_env.py:391-392, :433)
+    run_env_lockstep(obs_type="rgb", extend_dims=True, n_steps=40)
