@@ -62,3 +62,17 @@ def test_debug_mode_catches_nan():
     with debug_mode():
         with pytest.raises(FloatingPointError):
             jax.jit(lambda x: x / x)(jnp.zeros((4,)))
+
+
+def test_metric_logger_sinks(tmp_path):
+    from gym_simpletetris_tpu.utils.metrics import MetricLogger
+    import json as _json
+    jl = tmp_path / "m.jsonl"
+    tb = tmp_path / "tb"
+    with MetricLogger(jsonl_path=str(jl), tensorboard_dir=str(tb),
+                      stdout=False) as log:
+        log.log({"loss": 1.5, "q": 2.0}, step=1)
+        log.log({"loss": 1.0, "q": 3.0}, step=2)
+    recs = [_json.loads(l) for l in jl.read_text().splitlines()]
+    assert recs[1]["loss"] == 1.0 and recs[1]["step"] == 2
+    assert any(tb.iterdir())   # tensorboard event file written
