@@ -85,3 +85,22 @@ def test_rgb_array_render_parity():
 def test_rgb_extend_dims_ignored_like_reference():
     # the reference ignores extend_dims for rgb (tetris_env.py:391-392, :433)
     run_env_lockstep(obs_type="rgb", extend_dims=True, n_steps=40)
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_obs_level_fuzz(case):
+    """Randomized obs-level lockstep (full TetrisEnv pipeline incl. images)."""
+    rng = np.random.RandomState(500 + case)
+    kwargs = dict(
+        obs_type=["ram", "grayscale", "rgb"][case % 3],
+        extend_dims=bool(rng.randint(2)),
+        width=int(rng.choice([7, 9, 10, 16])),
+        height=int(rng.choice([10, 14, 20])),
+        lock_delay=int(rng.choice([0, 1, 2])),
+        step_reset=bool(rng.randint(2)),
+        reward_step=bool(rng.randint(2)),
+        advanced_clears=bool(rng.randint(2)),
+        penalise_holes=bool(rng.randint(2)),
+    )
+    run_env_lockstep(n_steps=60, policy_seed=case, seed=int(rng.randint(1 << 30)),
+                     **kwargs)
