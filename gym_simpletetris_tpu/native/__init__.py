@@ -1,0 +1,178 @@
+"""Native (C++) host engine: build-on-demand ctypes bindings.
+
+``oracle.cc`` implements the exact reference transition semantics
+(tetris_env.py:125-335) as a single-env C++ engine. It serves two roles:
+
+- the **fuzz oracle**: a semantically independent implementation (per-cell
+  loops, like the reference) that the JAX engine is mass-fuzzed against
+  (tests/test_native_oracle.py) after itself being cross-validated against the
+  in-place-loaded Python reference;
+- a **fast host CPU env** (``api/native_env.py``) — same API surface as the
+  reference at ~100x its throughput.
+
+The shared library is compiled lazily with ``g++ -O2`` into the package
+directory (gitignored) and rebuilt whenever ``oracle.cc`` is newer. Bindings
+use ctypes (no pybind11 in this image — see CLAUDE.md environment notes).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "oracle.cc")
+_LIB = os.path.join(_DIR, "_oracle.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+class NativeBuildError(RuntimeError):
+    pass
+
+
+def _build() -> str:
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB + ".tmp",
+           _SRC]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as e:  # g++ missing/hung
+        raise NativeBuildError(f"native build unavailable: {e}") from e
+    if proc.returncode != 0:
+        raise NativeBuildError(f"g++ failed:\n{proc.stderr}")
+    os.replace(_LIB + ".tmp", _LIB)
+    return _LIB
+
+
+def native_available() -> bool:
+    try:
+        load_library()
+        return True
+    except NativeBuildError:
+        return False
+
+
+def load_library() -> ctypes.CDLL:
+    """Compile (if stale) and load the native engine, declaring signatures."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+        c = ctypes
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.tetris_new.restype = c.c_void_p
+        lib.tetris_new.argtypes = [c.c_int] * 11 + [c.c_uint64]
+        lib.tetris_free.argtypes = [c.c_void_p]
+        lib.tetris_clear.restype = c.c_int
+        lib.tetris_clear.argtypes = [c.c_void_p, c.c_int, u8p]
+        lib.tetris_step.restype = c.c_int
+        lib.tetris_step.argtypes = [c.c_void_p, c.c_int, c.c_int, u8p,
+                                    c.POINTER(c.c_double), c.POINTER(c.c_int)]
+        lib.tetris_render.argtypes = [c.c_void_p, u8p]
+        lib.tetris_valid_action_count.restype = c.c_int
+        lib.tetris_valid_action_count.argtypes = [c.c_void_p]
+        lib.tetris_info.argtypes = [c.c_void_p, i32p, i32p]
+        lib.tetris_drive.argtypes = [c.c_void_p, i32p, c.c_int, c.c_int,
+                                     u8p, f32p, u8p, i32p, i32p]
+        _lib = lib
+        return lib
+
+
+PIECE_NAMES = ("T", "J", "L", "Z", "S", "I", "O")
+
+
+class NativeTetrisEngine:
+    """Single-env handle over the C++ engine; mirrors the reference
+    ``TetrisEngine`` surface (plus draw-stream recording for parity replay).
+
+    Boards are returned in the reference orientation ``(width, height)`` with
+    ``board[x, y]`` and y=0 at the top.
+    """
+
+    def __init__(self, width=10, height=20, lock_delay=0, step_reset=False,
+                 reward_step=False, penalise_height=False,
+                 penalise_height_increase=False, advanced_clears=False,
+                 high_scoring=False, penalise_holes=False,
+                 penalise_holes_increase=False, seed=0):
+        self._lib = load_library()
+        self.width, self.height = width, height
+        self._h = ctypes.c_void_p(self._lib.tetris_new(
+            width, height, lock_delay, int(step_reset), int(reward_step),
+            int(penalise_height), int(penalise_height_increase),
+            int(advanced_clears), int(high_scoring), int(penalise_holes),
+            int(penalise_holes_increase), seed))
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.tetris_free(h)
+            self._h = None
+
+    def _board_buf(self) -> np.ndarray:
+        return np.empty((self.width, self.height), dtype=np.uint8)
+
+    def clear(self, r: int = 0):
+        """Returns (board, r_used): r<=0 draws from the internal RNG."""
+        board = self._board_buf()
+        r_used = self._lib.tetris_clear(self._h, int(r), board)
+        return board, r_used
+
+    def step(self, action: int, r: int = 0):
+        """Returns ((board, reward, done), r_used)."""
+        board = self._board_buf()
+        rew = ctypes.c_double()
+        done = ctypes.c_int()
+        r_used = self._lib.tetris_step(self._h, int(action), int(r), board,
+                                       ctypes.byref(rew), ctypes.byref(done))
+        return (board, rew.value, bool(done.value)), r_used
+
+    def render(self) -> np.ndarray:
+        board = self._board_buf()
+        self._lib.tetris_render(self._h, board)
+        return board
+
+    def valid_action_count(self) -> int:
+        return int(self._lib.tetris_valid_action_count(self._h))
+
+    def info(self) -> dict:
+        out = np.empty(6, np.int32)
+        counts = np.empty(7, np.int32)
+        self._lib.tetris_info(self._h, out, counts)
+        return {
+            "time": int(out[0]),
+            "current_piece": PIECE_NAMES[int(out[1])],
+            "score": int(out[2]),
+            "lines_cleared": int(out[3]),
+            "holes": int(out[4]),
+            "deaths": int(out[5]),
+            "statistics": {n: int(c) for n, c in zip(PIECE_NAMES, counts)},
+        }
+
+    def drive(self, actions: np.ndarray, auto_clear: bool = True):
+        """Run T steps with the internal RNG at native speed.
+
+        Returns (boards u8[T, W, H], rewards f32[T], dones u8[T],
+        r_step i32[T], r_clear i32[T]) — the r streams are the draws a parity
+        harness must replay into the JAX engine (0 = no draw that step).
+        """
+        actions = np.ascontiguousarray(actions, dtype=np.int32)
+        t = actions.shape[0]
+        boards = np.empty((t, self.width, self.height), np.uint8)
+        rewards = np.empty(t, np.float32)
+        dones = np.empty(t, np.uint8)
+        r_step = np.empty(t, np.int32)
+        r_clear = np.empty(t, np.int32)
+        self._lib.tetris_drive(self._h, actions, t, int(auto_clear),
+                               boards, rewards, dones, r_step, r_clear)
+        return boards, rewards, dones, r_step, r_clear
