@@ -1,0 +1,155 @@
+"""Host-native single-env TetrisEnv backed by the C++ engine (no accelerator).
+
+Same old-gym-API surface as the reference ``TetrisEnv`` (tetris_env.py:338-467)
+and as ``api/gym_compat.TetrisEnv``, but the transition runs in
+``native/oracle.cc`` (~4.6M engine-steps/s vs the reference's ~25k) and
+observations are rendered with the pure-numpy host raster — the right backend
+for laptop debugging, CI, or light single-env workloads where a TPU dispatch
+round-trip (~tens of ms) would dominate.
+
+Width is not limited to the packed engine's 24 columns here — the C++ engine is
+per-cell, like the reference (which has no limit either, tetris_env.py:126-140).
+
+Differences from the reference (same set as gym_compat, documented not silent):
+a ``seed`` kwarg (splitmix64) replaces the global-``random`` dependence, with an
+``injected_r`` hook for oracle-parity replay; ``info['statistics']`` is a fresh
+dict per call; out-of-range actions act as idle rather than raising KeyError.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..native import NativeTetrisEngine, PIECE_NAMES
+from ..ops.raster import rasterize_host
+from . import spaces
+
+OBS_TYPES = ("ram", "grayscale", "rgb")
+
+
+class NativeTetrisEnv:
+    """Drop-in, old-gym-API SimpleTetris on the host-native C++ engine."""
+
+    metadata = {"render.modes": ["human", "rgb_array"], "render_fps": 8}
+
+    def __init__(self,
+                 width=10,
+                 height=20,
+                 obs_type="ram",
+                 extend_dims=False,
+                 render_mode="rgb_array",
+                 reward_step=False,
+                 penalise_height=False,
+                 penalise_height_increase=False,
+                 advanced_clears=False,
+                 high_scoring=False,
+                 penalise_holes=False,
+                 penalise_holes_increase=False,
+                 lock_delay=0,
+                 step_reset=False,
+                 seed: int = 0):
+        if obs_type not in OBS_TYPES:
+            raise ValueError(f"obs_type={obs_type!r} not in {OBS_TYPES}")
+        self.width, self.height = width, height
+        self.obs_type, self.extend_dims = obs_type, extend_dims
+        self.render_mode = render_mode  # stored-but-unused, like the reference
+        self.window_size = 512
+        self.engine = NativeTetrisEngine(
+            width=width, height=height, lock_delay=lock_delay,
+            step_reset=step_reset, reward_step=reward_step,
+            penalise_height=penalise_height,
+            penalise_height_increase=penalise_height_increase,
+            advanced_clears=advanced_clears, high_scoring=high_scoring,
+            penalise_holes=penalise_holes,
+            penalise_holes_increase=penalise_holes_increase, seed=seed)
+
+        self.action_space = spaces.action_space()
+        if obs_type == "ram":
+            shape = (width, height, 1) if extend_dims else (width, height)
+        elif obs_type == "grayscale":
+            shape = (84, 84, 1) if extend_dims else (84, 84)
+        else:  # rgb — extend_dims ignored, like the reference (:391-392)
+            shape = (84, 84, 3)
+        self.observation_space = spaces.Box(0, 1, shape, np.float32)
+        self.window = None
+        self.clock = None
+        self.value_action_map = {
+            0: "left", 1: "right", 2: "hard_drop", 3: "soft_drop",
+            4: "rotate_left", 5: "rotate_right", 6: "idle"}
+        self.action_value_map = {v: k for k, v in self.value_action_map.items()}
+        self.nb_actions = len(self.value_action_map)
+
+    # -- observation conversion (`_observation`, tetris_env.py:413-433) ---------
+    def _observation(self, board: np.ndarray) -> np.ndarray:
+        if self.obs_type == "ram":
+            obs = board.astype(np.float32)
+            return obs.reshape(self.width, self.height, 1) \
+                if self.extend_dims else obs
+        # convert_grayscale transposes internally (:82): raster of (H, W)
+        gray = rasterize_host(board.T, self.height, self.width, 84)
+        if self.obs_type == "grayscale":
+            obs = gray.astype(np.float32)
+            return obs.reshape(84, 84, 1) if self.extend_dims else obs
+        return np.repeat(gray[..., None], 3, axis=-1).astype(np.float32)
+
+    # -- gym API -----------------------------------------------------------------
+    def reset(self, return_info: bool = False, injected_r: Optional[int] = None):
+        board, _ = self.engine.clear(0 if injected_r is None else injected_r)
+        obs = self._observation(board)
+        return (obs, self._get_info()) if return_info else obs
+
+    def step(self, action, injected_r: Optional[int] = None):
+        (board, reward, done), _ = self.engine.step(
+            int(action), 0 if injected_r is None else injected_r)
+        return self._observation(board), float(reward), bool(done), \
+            self._get_info()
+
+    def _get_info(self) -> dict:
+        return self.engine.info()
+
+    def valid_action_count(self) -> int:
+        return self.engine.valid_action_count()
+
+    def render(self, mode: str = "human"):
+        if mode == "rgb_array":
+            # (160,160,3) (tetris_env.py:458-462)
+            gray = rasterize_host(self.engine.render().T,
+                                  self.height, self.width, 160)
+            return np.repeat(gray[..., None], 3, axis=-1)
+        if mode == "human":
+            # transpose *before* convert_grayscale (:445): raster of (W, H)
+            import pygame
+            if self.window is None:
+                pygame.init()
+                pygame.display.init()
+                self.window = pygame.display.set_mode(
+                    (self.window_size, self.window_size))
+            if self.clock is None:
+                self.clock = pygame.time.Clock()
+            gray = rasterize_host(self.engine.render(),
+                                  self.width, self.height, self.window_size)
+            rgb = np.repeat(gray[..., None], 3, axis=-1)
+            pygame.pixelcopy.array_to_surface(self.window, rgb)
+            canvas = pygame.surfarray.make_surface(rgb)
+            self.window.blit(canvas, canvas.get_rect())
+            pygame.event.pump()
+            pygame.display.update()
+            self.clock.tick(self.metadata["render_fps"])
+            return None
+        raise NotImplementedError(mode)
+
+    def close(self):
+        if self.window is not None:
+            import pygame
+            pygame.display.quit()
+            self.window = None
+
+    def __repr__(self):
+        b = self.engine.render()
+        s = "o" + "-" * self.width + "o\n"
+        s += "\n".join(
+            "|" + "".join("X" if b[x, y] else " " for x in range(self.width))
+            + "|" for y in range(self.height))
+        return s + "\no" + "-" * self.width + "o"

@@ -21,12 +21,23 @@ def register(env_id: str, **defaults):
 register("SimpleTetris-v0")
 
 
-def make(env_id: str = "SimpleTetris-v0", batch_size: int = None, **kwargs):
+def make(env_id: str = "SimpleTetris-v0", batch_size: int = None,
+         backend: str = "tpu", **kwargs):
     """batch_size=None -> single-env old-gym-API shim (reference-compatible);
-    batch_size=N -> TetrisVectorEnv over a batch of N boards."""
+    batch_size=N -> TetrisVectorEnv over a batch of N boards.
+    backend="native" -> the host C++ single-env (api/native_env.py; no
+    accelerator, no JAX dispatch — for laptops/CI/light workloads)."""
     if env_id not in _REGISTRY:
         raise KeyError(f"unknown env id {env_id!r}; known: {list(_REGISTRY)}")
     merged = {**_REGISTRY[env_id], **kwargs}
+    if backend == "native":
+        if batch_size is not None:
+            raise ValueError("backend='native' is single-env; use the vector "
+                             "env (TPU) for batching")
+        from .native_env import NativeTetrisEnv
+        return NativeTetrisEnv(**merged)
+    if backend != "tpu":
+        raise ValueError(f"unknown backend {backend!r}; use 'tpu' or 'native'")
     if batch_size is None:
         from .gym_compat import TetrisEnv
         return TetrisEnv(**merged)

@@ -80,6 +80,8 @@ def load_library() -> ctypes.CDLL:
         lib.tetris_step.argtypes = [c.c_void_p, c.c_int, c.c_int, u8p,
                                     c.POINTER(c.c_double), c.POINTER(c.c_int)]
         lib.tetris_render.argtypes = [c.c_void_p, u8p]
+        lib.tetris_board.argtypes = [c.c_void_p, u8p]
+        lib.tetris_piece_state.argtypes = [c.c_void_p, i32p, i32p]
         lib.tetris_valid_action_count.restype = c.c_int
         lib.tetris_valid_action_count.argtypes = [c.c_void_p]
         lib.tetris_info.argtypes = [c.c_void_p, i32p, i32p]
@@ -142,6 +144,21 @@ class NativeTetrisEngine:
         self._lib.tetris_render(self._h, board)
         return board
 
+    @property
+    def board(self) -> np.ndarray:
+        """Persistent (piece-erased) board, like the reference's engine.board."""
+        board = self._board_buf()
+        self._lib.tetris_board(self._h, board)
+        return board
+
+    def piece_state(self):
+        """Returns (anchor (x, y), piece_id, lock_counter, shape offsets)."""
+        out = np.empty(4, np.int32)
+        shape = np.empty(8, np.int32)
+        self._lib.tetris_piece_state(self._h, out, shape)
+        return ((int(out[0]), int(out[1])), int(out[2]), int(out[3]),
+                [(int(shape[2 * k]), int(shape[2 * k + 1])) for k in range(4)])
+
     def valid_action_count(self) -> int:
         return int(self._lib.tetris_valid_action_count(self._h))
 
@@ -158,6 +175,47 @@ class NativeTetrisEngine:
             "deaths": int(out[5]),
             "statistics": {n: int(c) for n, c in zip(PIECE_NAMES, counts)},
         }
+
+    # -- reference TetrisEngine attribute names (tetris_env.py:125-181), for
+    # user code that pokes ``env.engine`` directly --------------------------------
+    @property
+    def anchor(self):
+        return self.piece_state()[0]
+
+    @property
+    def shape_name(self) -> str:
+        return PIECE_NAMES[self.piece_state()[1]]
+
+    @property
+    def shape(self):
+        return self.piece_state()[3]
+
+    @property
+    def shape_counts(self) -> dict:
+        return self.info()["statistics"]
+
+    @property
+    def time(self) -> int:
+        return self.info()["time"]
+
+    @property
+    def score(self) -> int:
+        return self.info()["score"]
+
+    @property
+    def holes(self) -> int:
+        return self.info()["holes"]
+
+    @property
+    def lines_cleared(self) -> int:
+        return self.info()["lines_cleared"]
+
+    @property
+    def n_deaths(self) -> int:
+        return self.info()["deaths"]
+
+    def get_info(self) -> dict:
+        return self.info()
 
     def drive(self, actions: np.ndarray, auto_clear: bool = True):
         """Run T steps with the internal RNG at native speed.

@@ -401,6 +401,25 @@ int tetris_step(void* h, int action, int r_in, uint8_t* out_board,
 
 void tetris_render(void* h, uint8_t* out_board) { ((Game*)h)->emit(out_board); }
 
+// Persistent (piece-erased) board, like reading engine.board between steps.
+void tetris_board(void* h, uint8_t* out_board) {
+  Game* g = (Game*)h;
+  std::memcpy(out_board, g->board.data(), g->board.size());
+}
+
+// Piece/FSM state: ax, ay, piece_id, lock counter; shape8 = 4 (dx, dy) pairs.
+void tetris_piece_state(void* h, int32_t* out4, int32_t* shape8) {
+  Game* g = (Game*)h;
+  out4[0] = g->ax;
+  out4[1] = g->ay;
+  out4[2] = g->piece_id;
+  out4[3] = g->lock_cnt;
+  for (int k = 0; k < 4; ++k) {
+    shape8[2 * k] = g->shape.c[k][0];
+    shape8[2 * k + 1] = g->shape.c[k][1];
+  }
+}
+
 int tetris_valid_action_count(void* h) {
   return ((Game*)h)->valid_action_count();
 }

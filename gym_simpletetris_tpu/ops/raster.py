@@ -142,6 +142,16 @@ def rasterize(cells: jnp.ndarray, d0: int, d1: int, size: int,
     raise ValueError(f"unknown raster impl {impl!r}")
 
 
+def rasterize_host(cells: np.ndarray, d0: int, d1: int, size: int) -> np.ndarray:
+    """Pure-numpy host raster (used by the native CPU env, api/native_env.py):
+    (d0, d1) 0/1 cells -> uint8 (size, size). Same static maps as the device
+    paths, so pixel-exactness is shared."""
+    base, cell = build_raster_maps(d0, d1, size)
+    flat = np.append(np.asarray(cells, dtype=np.uint8).reshape(-1), np.uint8(0))
+    idx = np.where(cell < 0, d0 * d1, cell)
+    return base + np.uint8(PIECE_SHADE - BACKGROUND_SHADE) * flat[idx]
+
+
 def grayscale_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
     """HxW -> HxWx3 channel triple (``convert_grayscale_rgb``, tetris_env.py:117-122)."""
     return jnp.repeat(img[..., None], 3, axis=-1)
