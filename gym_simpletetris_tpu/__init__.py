@@ -35,5 +35,17 @@ __all__ = [
     "EnvConfig", "EnvState", "init_state", "PIECE_NAMES",
     "TetrisVectorEnv", "TetrisEnv", "step_fn", "reset_fn",
     "build_observation", "make", "register", "register_gymnasium",
+    "NativeTetrisEnv", "NativeTetrisEngine",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # Lazy: first touch compiles the C++ engine (native/__init__.py).
+    if name == "NativeTetrisEnv":
+        from .api.native_env import NativeTetrisEnv
+        return NativeTetrisEnv
+    if name == "NativeTetrisEngine":
+        from .native import NativeTetrisEngine
+        return NativeTetrisEngine
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -41,13 +41,13 @@ def build_observation(cfg: EnvConfig, emitted_rows: jnp.ndarray) -> jnp.ndarray:
     if cfg.obs_type == "ram":
         obs = unpack_board(cfg, emitted_rows, dtype=dt)           # [B, W, H]
         return obs[..., None] if cfg.extend_dims else obs
-    if cfg.raster_impl == "pallas":
+    impl = cfg.resolved_raster_impl
+    if impl == "pallas":
         from ..ops.pallas_raster import rasterize_rows_pallas
         img = rasterize_rows_pallas(cfg, emitted_rows, 84)
     else:
         cells = unpack_rows(cfg, emitted_rows, dtype=jnp.uint8)   # [B, H, W]
-        img = rasterize(cells, cfg.height, cfg.width, 84,
-                        impl=cfg.raster_impl)
+        img = rasterize(cells, cfg.height, cfg.width, 84, impl=impl)
     if cfg.obs_type == "grayscale":
         obs = img.astype(dt)
         return obs[..., None] if cfg.extend_dims else obs

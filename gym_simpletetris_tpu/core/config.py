@@ -51,9 +51,12 @@ class EnvConfig:
     step_reset: bool = False
     # --- new, TPU-framework-only knobs ---
     auto_reset: bool = False
-    raster_impl: str = "gather"  # "gather" | "matmul" (MXU) | "pallas"
-                                 # (fused kernel); all pixel-exact; gather
-                                 # measures fastest in-scan on v5e @B=4096
+    raster_impl: str = "auto"    # "auto" | "gather" | "matmul" (MXU) |
+                                 # "pallas" (fused kernel); all pixel-exact.
+                                 # auto = the fastest measured in-scan on v5e
+                                 # @B=4096 per (obs_type, obs_dtype): matmul
+                                 # everywhere except grayscale-f32 (gather) —
+                                 # see BENCH_LOCAL.md sweep
     obs_dtype: str = "float32"   # "float32" (reference parity, :400) | "uint8"
                                  # (native palette, 4x less HBM traffic)
     step_impl: str = "xla"       # "xla" | "pallas" (fused transition kernel;
@@ -69,7 +72,7 @@ class EnvConfig:
             raise ValueError(f"height={self.height} must be >= 2")
         if self.obs_type not in OBS_TYPES:
             raise ValueError(f"obs_type={self.obs_type!r} not in {OBS_TYPES}")
-        if self.raster_impl not in ("matmul", "gather", "pallas"):
+        if self.raster_impl not in ("auto", "matmul", "gather", "pallas"):
             raise ValueError(f"raster_impl={self.raster_impl!r}")
         if self.obs_dtype not in ("float32", "uint8"):
             raise ValueError(f"obs_dtype={self.obs_dtype!r}")
@@ -77,6 +80,18 @@ class EnvConfig:
             raise ValueError(f"step_impl={self.step_impl!r}")
 
     # -- derived, static helpers ------------------------------------------------
+    @property
+    def resolved_raster_impl(self) -> str:
+        """Resolve raster_impl="auto" to the fastest measured in-scan kernel on
+        v5e @B=4096 (BENCH_LOCAL.md obs sweep): matmul for uint8 obs and for
+        rgb, gather for grayscale-float32 (the f32 accumulator regime where the
+        MXU path's f32 intermediate costs more than the static gather)."""
+        if self.raster_impl != "auto":
+            return self.raster_impl
+        if self.obs_type == "grayscale" and self.obs_dtype == "float32":
+            return "gather"
+        return "matmul"
+
     @property
     def valid_mask(self) -> int:
         """uint32 mask of in-board column bits: [XSHIFT, XSHIFT + width)."""

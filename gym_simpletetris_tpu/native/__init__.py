@@ -37,8 +37,8 @@ class NativeBuildError(RuntimeError):
 
 
 def _build() -> str:
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB + ".tmp",
-           _SRC]
+    cmd = ["g++", "-O3", "-std=c++17", "-pthread", "-shared", "-fPIC",
+           "-o", _LIB + ".tmp", _SRC]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired) as e:  # g++ missing/hung
@@ -87,11 +87,64 @@ def load_library() -> ctypes.CDLL:
         lib.tetris_info.argtypes = [c.c_void_p, i32p, i32p]
         lib.tetris_drive.argtypes = [c.c_void_p, i32p, c.c_int, c.c_int,
                                      u8p, f32p, u8p, i32p, i32p]
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        # boards is optional (c_void_p so that None maps to NULL, not a
+        # 0-size-but-valid ndarray pointer the C side would write through)
+        lib.tetris_drive_many.argtypes = [i32p, u64p, c.c_int, i32p, c.c_int,
+                                          c.c_int, i32p, c.c_void_p, f32p,
+                                          u8p, i32p, i32p, i32p, i32p]
         _lib = lib
         return lib
 
 
 PIECE_NAMES = ("T", "J", "L", "Z", "S", "I", "O")
+
+_CFG_KEYS = ("width", "height", "lock_delay", "step_reset", "reward_step",
+             "penalise_height", "penalise_height_increase", "advanced_clears",
+             "high_scoring", "penalise_holes", "penalise_holes_increase")
+
+
+def drive_many(actions: np.ndarray, seeds, threads: int = 0, *,
+               with_boards: bool = True, **flags):
+    """Run ``n`` independent games of ``T`` steps each in parallel C++ threads.
+
+    actions: int[n, T]; seeds: int[n] (one splitmix64 stream per game);
+    flags: the 11 reference engine kwargs (width=10, height=20, ...).
+
+    Returns a dict: r0 i32[n] (the clear() spawn draws), boards
+    u8[n, T, W, H] (or None), rewards f32[n, T], dones u8[n, T],
+    r_step/r_clear i32[n, T] (per-step draw streams for parity replay),
+    deaths i32[n], counts i32[n, 7] (final cross-episode carry-over state).
+    """
+    lib = load_library()
+    actions = np.ascontiguousarray(actions, np.int32)
+    n, t = actions.shape
+    seeds = np.ascontiguousarray(seeds, np.uint64)
+    assert seeds.shape == (n,), (seeds.shape, n)
+    unknown = set(flags) - set(_CFG_KEYS)
+    if unknown:
+        raise TypeError(f"unknown engine flags: {sorted(unknown)}")
+    merged = {"width": 10, "height": 20, **flags}
+    cfg11 = np.array([int(merged.get(k, 0)) for k in _CFG_KEYS], np.int32)
+    w, h = int(cfg11[0]), int(cfg11[1])
+    threads = threads or (os.cpu_count() or 1)
+    out = {
+        "r0": np.empty(n, np.int32),
+        "boards": np.empty((n, t, w, h), np.uint8) if with_boards else None,
+        "rewards": np.empty((n, t), np.float32),
+        "dones": np.empty((n, t), np.uint8),
+        "r_step": np.empty((n, t), np.int32),
+        "r_clear": np.empty((n, t), np.int32),
+        "deaths": np.empty(n, np.int32),
+        "counts": np.empty((n, 7), np.int32),
+    }
+    boards_ptr = (out["boards"].ctypes.data_as(ctypes.c_void_p)
+                  if with_boards else None)
+    lib.tetris_drive_many(
+        cfg11, seeds, n, actions, t, threads, out["r0"], boards_ptr,
+        out["rewards"], out["dones"], out["r_step"], out["r_clear"],
+        out["deaths"], out["counts"])
+    return out
 
 
 class NativeTetrisEngine:

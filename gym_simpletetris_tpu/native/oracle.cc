@@ -26,6 +26,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -459,6 +460,55 @@ void tetris_drive(void* h, const int32_t* actions, int t_steps, int auto_clear,
     if (done && auto_clear) g->clear(/*r_in=*/0, &r_clear);
     if (out_r_clear) out_r_clear[t] = r_clear;
   }
+}
+
+// Parallel fuzz-stream generator: n independent games, each cleared once
+// (recording the spawn draw in out_r0) and driven t_steps with auto-clear,
+// fanned out over `threads` OS threads. cfg11 = the 11 tetris_new int args
+// (width..penalise_holes_increase); all outputs are game-major (boards
+// [n, T, W*H]; any output pointer may be null except out_r0).
+void tetris_drive_many(const int32_t* cfg11, const uint64_t* seeds, int n,
+                       const int32_t* actions, int t_steps, int threads,
+                       int32_t* out_r0, uint8_t* out_boards,
+                       float* out_rewards, uint8_t* out_dones,
+                       int32_t* out_r_step, int32_t* out_r_clear,
+                       int32_t* out_deaths, int32_t* out_counts) {
+  const size_t cells = (size_t)cfg11[0] * cfg11[1];
+  auto run_range = [&](int lo, int hi) {
+    for (int i = lo; i < hi; ++i) {
+      void* h = tetris_new(cfg11[0], cfg11[1], cfg11[2], cfg11[3], cfg11[4],
+                           cfg11[5], cfg11[6], cfg11[7], cfg11[8], cfg11[9],
+                           cfg11[10], seeds[i]);
+      out_r0[i] = tetris_clear(h, 0, nullptr);
+      const size_t o = (size_t)i * t_steps;
+      tetris_drive(h, actions + o, t_steps, /*auto_clear=*/1,
+                   out_boards ? out_boards + o * cells : nullptr,
+                   out_rewards ? out_rewards + o : nullptr,
+                   out_dones ? out_dones + o : nullptr,
+                   out_r_step ? out_r_step + o : nullptr,
+                   out_r_clear ? out_r_clear + o : nullptr);
+      if (out_deaths || out_counts) {
+        int32_t info6[6], counts7[7];
+        tetris_info(h, info6, counts7);
+        if (out_deaths) out_deaths[i] = info6[5];
+        if (out_counts) std::memcpy(out_counts + (size_t)i * 7, counts7,
+                                    sizeof(counts7));
+      }
+      tetris_free(h);
+    }
+  };
+  threads = std::max(1, std::min(threads, n));
+  if (threads == 1) {
+    run_range(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int per = (n + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    int lo = t * per, hi = std::min(n, lo + per);
+    if (lo < hi) pool.emplace_back(run_range, lo, hi);
+  }
+  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

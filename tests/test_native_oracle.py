@@ -26,7 +26,7 @@ from gym_simpletetris_tpu.ops.bitops import unpack_board
 from gym_simpletetris_tpu.native import native_available
 
 if native_available():
-    from gym_simpletetris_tpu.native import NativeTetrisEngine
+    from gym_simpletetris_tpu.native import NativeTetrisEngine, drive_many
 
 pytestmark = pytest.mark.skipif(
     not native_available(), reason="g++ toolchain unavailable")
@@ -109,6 +109,30 @@ def test_drive_matches_stepwise():
     assert a.info() == b.info()
 
 
+def test_drive_many_matches_single_games():
+    """The threaded batch driver must equal per-game drive() exactly."""
+    n, t = 9, 300
+    rng = np.random.RandomState(2)
+    actions = rng.randint(0, 7, size=(n, t)).astype(np.int32)
+    seeds = 50 + np.arange(n, dtype=np.uint64)
+    out = drive_many(actions, seeds, threads=4, advanced_clears=True)
+    for i in range(n):
+        g = NativeTetrisEngine(seed=int(seeds[i]), advanced_clears=True)
+        _, r0 = g.clear()
+        assert out["r0"][i] == r0
+        bb, rr, dd, rs, rc = g.drive(actions[i], auto_clear=True)
+        np.testing.assert_array_equal(out["boards"][i], bb)
+        np.testing.assert_array_equal(out["rewards"][i], rr)
+        np.testing.assert_array_equal(out["dones"][i], dd)
+        np.testing.assert_array_equal(out["r_step"][i], rs)
+        np.testing.assert_array_equal(out["r_clear"][i], rc)
+        inf = g.info()
+        assert out["deaths"][i] == inf["deaths"]
+        assert list(out["counts"][i]) == list(inf["statistics"].values())
+    with pytest.raises(TypeError):
+        drive_many(actions, seeds, bogus_flag=True)
+
+
 # --------------------------------------------------------------- JAX vs C++ fuzz
 
 FUZZ_CONFIGS = [
@@ -135,22 +159,14 @@ def test_fuzz_jax_vs_cpp(ci):
     rng = np.random.RandomState(1000 + ci)
     actions = rng.randint(0, 7, size=(T, B)).astype(np.int32)
 
-    # -- native side: B independent games, recorded draw streams ---------------
-    boards_n = np.empty((T, B, cfg.width, cfg.height), np.uint8)
-    rewards_n = np.empty((T, B), np.float32)
-    dones_n = np.empty((T, B), np.uint8)
-    r_step = np.empty((T, B), np.int32)
-    r_clear = np.empty((T, B), np.int32)
-    r0 = np.empty((B,), np.int32)
-    finals = []
-    for b in range(B):
-        g = NativeTetrisEngine(width=cfg.width, height=cfg.height,
-                               seed=777 * (ci + 1) + b, **_flags(cfg))
-        _, r0[b] = g.clear()
-        bb, rr, dd, rs, rc = g.drive(actions[:, b], auto_clear=True)
-        boards_n[:, b], rewards_n[:, b], dones_n[:, b] = bb, rr, dd
-        r_step[:, b], r_clear[:, b] = rs, rc
-        finals.append(g.info())
+    # -- native side: B independent games in parallel C++ threads ---------------
+    seeds = 777 * (ci + 1) + np.arange(B, dtype=np.uint64)
+    out = drive_many(actions.T, seeds, width=cfg.width, height=cfg.height,
+                     **_flags(cfg))
+    boards_n = np.transpose(out["boards"], (1, 0, 2, 3))   # [T, B, W, H]
+    rewards_n, dones_n = out["rewards"].T, out["dones"].T
+    r_step, r_clear = out["r_step"].T, out["r_clear"].T
+    r0 = out["r0"]
 
     # -- JAX side: one scan over the injected streams ---------------------------
     state = init_state(cfg, B, jax.random.PRNGKey(ci))
@@ -175,8 +191,7 @@ def test_fuzz_jax_vs_cpp(ci):
     np.testing.assert_array_equal(np.asarray(done).astype(np.uint8), dones_n)
 
     # cross-episode carry-over state at the end of the run
-    deaths_j = np.asarray(final_state.deaths)
-    counts_j = np.asarray(final_state.shape_counts)  # [7, B]
-    for b, inf in enumerate(finals):
-        assert deaths_j[b] == inf["deaths"], b
-        assert list(counts_j[:, b]) == list(inf["statistics"].values()), b
+    np.testing.assert_array_equal(np.asarray(final_state.deaths),
+                                  out["deaths"])
+    np.testing.assert_array_equal(np.asarray(final_state.shape_counts).T,
+                                  out["counts"])
