@@ -8,6 +8,15 @@ writing each output pixel once. Pixel semantics are identical to
 is used, and equality is asserted against the XLA paths (which are themselves
 pixel-exact vs the reference) in tests/test_pallas_raster.py.
 
+Perf note (clean v5e in-scan sweep, BENCH_LOCAL.md): this kernel reaches
+13.7M env-steps/s (gray u8, B=4096) but the plain XLA matmul path reaches
+17.3M — XLA fuses the unpack/matmul/palette/cast chain itself *and* pipelines
+it with the engine step inside the scan, whereas a pallas_call is a fusion
+barrier. Variants that avoid the in-kernel transpose via batch-major tiles and
+x-major lane-concatenation measured slower still (7.5M; W-way concat relayouts
+dominate). Kept as an opt-in (`raster_impl="pallas"`) and as the reference
+fused-kernel implementation; `"auto"` picks the XLA matmul.
+
 Input:  rows uint32[H, B] (batch-minor, piece burned in)
 Output: img  uint8[B, size*size] (batch-major, reshape to [B, size, size])
 """
