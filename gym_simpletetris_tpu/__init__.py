@@ -35,7 +35,7 @@ __all__ = [
     "EnvConfig", "EnvState", "init_state", "PIECE_NAMES",
     "TetrisVectorEnv", "TetrisEnv", "step_fn", "reset_fn",
     "build_observation", "make", "register", "register_gymnasium",
-    "NativeTetrisEnv", "NativeTetrisEngine",
+    "NativeTetrisEnv", "NativeVectorEnv", "NativeTetrisEngine",
     "__version__",
 ]
 
@@ -45,6 +45,9 @@ def __getattr__(name):
     if name == "NativeTetrisEnv":
         from .api.native_env import NativeTetrisEnv
         return NativeTetrisEnv
+    if name == "NativeVectorEnv":
+        from .api.native_env import NativeVectorEnv
+        return NativeVectorEnv
     if name == "NativeTetrisEngine":
         from .native import NativeTetrisEngine
         return NativeTetrisEngine

@@ -22,8 +22,10 @@ from typing import Optional
 
 import numpy as np
 
-from ..native import NativeTetrisEngine, PIECE_NAMES
-from ..ops.raster import rasterize_host
+import os
+
+from ..native import NativeTetrisEngine, PIECE_NAMES, load_library
+from ..ops.raster import rasterize_host, rasterize_host_batch
 from . import spaces
 
 OBS_TYPES = ("ram", "grayscale", "rgb")
@@ -153,3 +155,99 @@ class NativeTetrisEnv:
             "|" + "".join("X" if b[x, y] else " " for x in range(self.width))
             + "|" for y in range(self.height))
         return s + "\no" + "-" * self.width + "o"
+
+
+class NativeVectorEnv:
+    """Batched host vector env: ``batch_size`` independent C++ games stepped by
+    ONE ctypes call (optionally fanned over OS threads) — the numpy analog of
+    ``TetrisVectorEnv`` for machines without an accelerator.
+
+    Semantics per game match the reference exactly (same engine as
+    NativeTetrisEnv); ``auto_reset`` mirrors ``EnvConfig.auto_reset``: games
+    that die are clear()ed in the same step, their observation is the reset
+    observation (empty board), and reward/done still report the terminal
+    transition.
+
+    ``step`` returns (obs, reward, done, info); info is a dict of arrays
+    gathered per-env only when constructed ``with_info=True`` (it costs a
+    Python loop per step), else {}.
+    """
+
+    PIECE_NAMES = PIECE_NAMES
+
+    def __init__(self, batch_size: int, obs_type: str = "ram",
+                 extend_dims: bool = False, auto_reset: bool = True,
+                 seed: int = 0, threads: int = 0, with_info: bool = False,
+                 **engine_flags):
+        if obs_type not in OBS_TYPES:
+            raise ValueError(f"obs_type={obs_type!r} not in {OBS_TYPES}")
+        self._lib = load_library()
+        self.batch_size = batch_size
+        self.obs_type, self.extend_dims = obs_type, extend_dims
+        self.auto_reset = auto_reset
+        self.threads = threads or (os.cpu_count() or 1)
+        self.with_info = with_info
+        self.width = engine_flags.get("width", 10)
+        self.height = engine_flags.get("height", 20)
+        self.engines = [NativeTetrisEngine(seed=seed + i, **engine_flags)
+                        for i in range(batch_size)]
+        self._handles = np.array([e._h.value for e in self.engines], np.uint64)
+        self.action_space = spaces.action_space()
+        if obs_type == "ram":
+            oshape = (self.width, self.height) + ((1,) if extend_dims else ())
+        elif obs_type == "grayscale":
+            oshape = (84, 84) + ((1,) if extend_dims else ())
+        else:
+            oshape = (84, 84, 3)
+        self.observation_space = spaces.Box(0, 1, oshape, np.float32)
+
+    def _observation(self, boards: np.ndarray) -> np.ndarray:
+        """boards u8[B, W, H] -> obs float32 per obs_type (batched)."""
+        if self.obs_type == "ram":
+            obs = boards.astype(np.float32)
+            return obs[..., None] if self.extend_dims else obs
+        gray = rasterize_host_batch(boards.transpose(0, 2, 1),
+                                    self.height, self.width, 84)
+        if self.obs_type == "grayscale":
+            obs = gray.astype(np.float32)
+            return obs[..., None] if self.extend_dims else obs
+        return np.repeat(gray[..., None], 3, axis=-1).astype(np.float32)
+
+    def reset(self) -> np.ndarray:
+        """clear() every game; returns the (empty-board) reset observation."""
+        n = self.batch_size
+        r0 = np.empty(n, np.int32)
+        boards = np.empty((n, self.width, self.height), np.uint8)
+        self._lib.tetris_clear_vec(self._handles, n, r0, boards)
+        return self._observation(boards)
+
+    def step(self, actions):
+        n = self.batch_size
+        actions = np.ascontiguousarray(actions, np.int32)
+        assert actions.shape == (n,), actions.shape
+        boards = np.empty((n, self.width, self.height), np.uint8)
+        rewards = np.empty(n, np.float32)
+        dones = np.empty(n, np.uint8)
+        r_step = np.empty(n, np.int32)
+        r_clear = np.empty(n, np.int32)
+        self._lib.tetris_step_vec(self._handles, n, actions,
+                                  int(self.auto_reset), self.threads,
+                                  boards, rewards, dones, r_step, r_clear)
+        if self.auto_reset:
+            boards[dones != 0] = 0      # reset observation = empty board
+        info = self.infos() if self.with_info else {}
+        return (self._observation(boards), rewards,
+                dones.astype(bool), info)
+
+    def infos(self) -> dict:
+        """Batched get_info: dict of arrays (time/score/... int32[B],
+        statistics int32[B, 7])."""
+        keys = ("time", "current_piece", "score", "lines_cleared", "holes",
+                "deaths")
+        out6 = np.empty((self.batch_size, 6), np.int32)
+        counts = np.empty((self.batch_size, 7), np.int32)
+        for i, e in enumerate(self.engines):
+            self._lib.tetris_info(e._h, out6[i], counts[i])
+        info = {k: out6[:, j].copy() for j, k in enumerate(keys)}
+        info["statistics"] = counts
+        return info

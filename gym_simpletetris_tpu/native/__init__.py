@@ -93,6 +93,9 @@ def load_library() -> ctypes.CDLL:
         lib.tetris_drive_many.argtypes = [i32p, u64p, c.c_int, i32p, c.c_int,
                                           c.c_int, i32p, c.c_void_p, f32p,
                                           u8p, i32p, i32p, i32p, i32p]
+        lib.tetris_step_vec.argtypes = [u64p, c.c_int, i32p, c.c_int, c.c_int,
+                                        u8p, f32p, u8p, i32p, i32p]
+        lib.tetris_clear_vec.argtypes = [u64p, c.c_int, i32p, u8p]
         _lib = lib
         return lib
 

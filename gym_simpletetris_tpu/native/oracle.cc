@@ -462,6 +462,58 @@ void tetris_drive(void* h, const int32_t* actions, int t_steps, int auto_clear,
   }
 }
 
+// Step n live games (one per handle) by one action each, in one call —
+// the hot path of the batched host vector env (api/native_env.py). If
+// auto_clear, games that end are clear()ed after emitting (out_r_clear
+// records the spawn draw). Threaded when `threads` > 1 and n is large
+// enough to amortize thread launch.
+void tetris_step_vec(const uint64_t* handles, int n, const int32_t* actions,
+                     int auto_clear, int threads, uint8_t* out_boards,
+                     float* out_rewards, uint8_t* out_dones,
+                     int32_t* out_r_step, int32_t* out_r_clear) {
+  auto run_range = [&](int lo, int hi) {
+    for (int i = lo; i < hi; ++i) {
+      Game* g = (Game*)(uintptr_t)handles[i];
+      double reward = 0.0;
+      int done = 0, r_used = 0;
+      g->step((int)actions[i], 0, &r_used, &reward, &done);
+      g->emit(out_boards + (size_t)i * g->board.size());
+      out_rewards[i] = (float)reward;
+      out_dones[i] = (uint8_t)done;
+      if (out_r_step) out_r_step[i] = r_used;
+      int r_clear = 0;
+      if (done && auto_clear) g->clear(0, &r_clear);
+      if (out_r_clear) out_r_clear[i] = r_clear;
+    }
+  };
+  threads = std::max(1, std::min(threads, n / 64));  // >=64 games per thread
+  if (threads <= 1) {
+    run_range(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int per = (n + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    int lo = t * per, hi = std::min(n, lo + per);
+    if (lo < hi) pool.emplace_back(run_range, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
+
+// Batched clear: reset every handle (recording spawn draws).
+void tetris_clear_vec(const uint64_t* handles, int n, int32_t* out_r,
+                      uint8_t* out_boards) {
+  for (int i = 0; i < n; ++i) {
+    Game* g = (Game*)(uintptr_t)handles[i];
+    int r = 0;
+    g->clear(0, &r);
+    out_r[i] = r;
+    if (out_boards)
+      std::memcpy(out_boards + (size_t)i * g->board.size(), g->board.data(),
+                  g->board.size());
+  }
+}
+
 // Parallel fuzz-stream generator: n independent games, each cleared once
 // (recording the spawn draw in out_r0) and driven t_steps with auto-clear,
 // fanned out over `threads` OS threads. cfg11 = the 11 tetris_new int args

@@ -152,6 +152,22 @@ def rasterize_host(cells: np.ndarray, d0: int, d1: int, size: int) -> np.ndarray
     return base + np.uint8(PIECE_SHADE - BACKGROUND_SHADE) * flat[idx]
 
 
+def rasterize_host_batch(cells: np.ndarray, d0: int, d1: int,
+                         size: int) -> np.ndarray:
+    """Pure-numpy batched host raster: [N, d0, d1] 0/1 -> uint8 [N, size, size]
+    (one fancy-index gather per batch; used by the native vector env)."""
+    base, cell = build_raster_maps(d0, d1, size)
+    n = cells.shape[0]
+    flat = np.concatenate(
+        [np.asarray(cells, np.uint8).reshape(n, d0 * d1),
+         np.zeros((n, 1), np.uint8)], axis=1)
+    idx = np.where(cell < 0, d0 * d1, cell).reshape(-1)
+    hit = flat[:, idx]
+    return (base.reshape(1, -1)
+            + np.uint8(PIECE_SHADE - BACKGROUND_SHADE) * hit
+            ).reshape(n, size, size)
+
+
 def grayscale_to_rgb(img: jnp.ndarray) -> jnp.ndarray:
     """HxW -> HxWx3 channel triple (``convert_grayscale_rgb``, tetris_env.py:117-122)."""
     return jnp.repeat(img[..., None], 3, axis=-1)

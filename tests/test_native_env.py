@@ -100,6 +100,50 @@ def test_wide_board_beyond_packed_limit():
     assert done_seen and info["deaths"] >= 1
 
 
+def test_native_vector_env_matches_single_games():
+    """NativeVectorEnv == B independent NativeTetrisEnv with clear-on-done."""
+    from gym_simpletetris_tpu.api.native_env import NativeVectorEnv
+    B, T = 12, 250
+    venv = NativeVectorEnv(B, obs_type="ram", auto_reset=True, seed=100,
+                           reward_step=True, with_info=True)
+    singles = [NativeTetrisEnv(obs_type="ram", seed=100 + i, reward_step=True)
+               for i in range(B)]
+    vobs = venv.reset()
+    sobs = np.stack([e.reset() for e in singles])
+    np.testing.assert_array_equal(vobs, sobs)
+    rng = np.random.RandomState(0)
+    deaths = 0
+    for t in range(T):
+        a = rng.randint(0, 7, B)
+        vobs, vrew, vdone, vinfo = venv.step(a)
+        for i, e in enumerate(singles):
+            so, sr, sd, si = e.step(int(a[i]))
+            assert vrew[i] == np.float32(sr) and vdone[i] == sd, (t, i)
+            if sd:
+                deaths += 1
+                so = e.reset()  # auto-reset obs = reset obs
+                si = e._get_info()
+            np.testing.assert_array_equal(vobs[i], so, err_msg=f"t={t} i={i}")
+            assert vinfo["score"][i] == si["score"]
+            assert vinfo["deaths"][i] == si["deaths"]
+            assert list(vinfo["statistics"][i]) == \
+                list(si["statistics"].values())
+    assert deaths > 0  # the fuzz actually exercised auto-reset
+
+
+def test_native_vector_env_grayscale_obs():
+    from gym_simpletetris_tpu.api.native_env import NativeVectorEnv
+    venv = NativeVectorEnv(4, obs_type="grayscale", seed=5)
+    obs = venv.reset()
+    assert obs.shape == (4, 84, 84) and obs.dtype == np.float32
+    single = NativeTetrisEnv(obs_type="grayscale", seed=5)
+    sobs = single.reset()
+    np.testing.assert_array_equal(obs[0], sobs)
+    obs, r, d, _ = venv.step(np.full(4, 2))
+    so, sr, sd, _ = single.step(2)
+    np.testing.assert_array_equal(obs[0], so if not sd else obs[0])
+
+
 def test_registry_native_backend():
     from gym_simpletetris_tpu.api.registry import make
     env = make("SimpleTetris-v0", backend="native", obs_type="grayscale")
