@@ -65,7 +65,7 @@ def bench_one(obs_type: str, batch: int, steps: int, chunk: int, impl: str,
     # dispatch jitter (host contention); the max is the honest capability
     # number and is what BENCH_LOCAL.md's warm-process sweeps reproduce.
     n_steps = n_chunks * chunk * batch
-    sps, total_done_host = 0.0, 0
+    sps, best = 0.0, None
     for _pass in range(3):
         t0 = time.perf_counter()
         total_done = jnp.zeros((), jnp.int32)
@@ -74,7 +74,10 @@ def bench_one(obs_type: str, batch: int, steps: int, chunk: int, impl: str,
             total_done = total_done + done.sum()
         total_done_host = int(np.asarray(total_done))  # host fetch = barrier
         dt = time.perf_counter() - t0
-        sps = max(sps, n_steps / dt)
+        if n_steps / dt > sps:
+            sps = n_steps / dt
+            best = (dt, total_done_host)   # keep _detail consistent w/ value
+    dt, total_done_host = best
 
     if profile_dir:
         jax.profiler.stop_trace()

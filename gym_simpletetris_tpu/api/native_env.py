@@ -218,7 +218,8 @@ class NativeVectorEnv:
         n = self.batch_size
         r0 = np.empty(n, np.int32)
         boards = np.empty((n, self.width, self.height), np.uint8)
-        self._lib.tetris_clear_vec(self._handles, n, r0, boards)
+        rc = self._lib.tetris_clear_vec(self._handles, n, r0, boards)
+        assert rc == 0, "mixed board geometries in one batch"
         return self._observation(boards)
 
     def step(self, actions):
@@ -230,9 +231,10 @@ class NativeVectorEnv:
         dones = np.empty(n, np.uint8)
         r_step = np.empty(n, np.int32)
         r_clear = np.empty(n, np.int32)
-        self._lib.tetris_step_vec(self._handles, n, actions,
-                                  int(self.auto_reset), self.threads,
-                                  boards, rewards, dones, r_step, r_clear)
+        rc = self._lib.tetris_step_vec(self._handles, n, actions,
+                                       int(self.auto_reset), self.threads,
+                                       boards, rewards, dones, r_step, r_clear)
+        assert rc == 0, "mixed board geometries in one batch"
         if self.auto_reset:
             boards[dones != 0] = 0      # reset observation = empty board
         info = self.infos() if self.with_info else {}

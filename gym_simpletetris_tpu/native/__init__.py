@@ -37,15 +37,18 @@ class NativeBuildError(RuntimeError):
 
 
 def _build() -> str:
+    # per-process tmp name: concurrent first builds (pytest + dev worker)
+    # must not interleave writes into one file before the atomic replace
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-std=c++17", "-pthread", "-shared", "-fPIC",
-           "-o", _LIB + ".tmp", _SRC]
+           "-o", tmp, _SRC]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired) as e:  # g++ missing/hung
         raise NativeBuildError(f"native build unavailable: {e}") from e
     if proc.returncode != 0:
         raise NativeBuildError(f"g++ failed:\n{proc.stderr}")
-    os.replace(_LIB + ".tmp", _LIB)
+    os.replace(tmp, _LIB)
     return _LIB
 
 
@@ -66,7 +69,17 @@ def load_library() -> ctypes.CDLL:
         if (not os.path.exists(_LIB)
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
             _build()
-        lib = ctypes.CDLL(_LIB)
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            # stale/corrupt .so (e.g. from an interrupted build): one rebuild,
+            # and report load failure as NativeBuildError so callers can skip
+            _build()
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError as e:
+                raise NativeBuildError(f"built library fails to load: {e}") \
+                    from e
         c = ctypes
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -93,8 +106,10 @@ def load_library() -> ctypes.CDLL:
         lib.tetris_drive_many.argtypes = [i32p, u64p, c.c_int, i32p, c.c_int,
                                           c.c_int, i32p, c.c_void_p, f32p,
                                           u8p, i32p, i32p, i32p, i32p]
+        lib.tetris_step_vec.restype = c.c_int    # -1 = mixed board geometries
         lib.tetris_step_vec.argtypes = [u64p, c.c_int, i32p, c.c_int, c.c_int,
                                         u8p, f32p, u8p, i32p, i32p]
+        lib.tetris_clear_vec.restype = c.c_int
         lib.tetris_clear_vec.argtypes = [u64p, c.c_int, i32p, u8p]
         _lib = lib
         return lib

@@ -92,7 +92,6 @@ struct Game {
   int piece_id;  // index into shape_names order
   int ax, ay;    // anchor (int; equivalent to the reference's float w/2 spawn,
                  // see core/config.py::spawn_x docstring)
-  bool has_piece;
 
   int time_, score, holes, lines_cleared, piece_height, n_deaths, lock_cnt;
   int shape_counts[7];
@@ -152,7 +151,6 @@ struct Game {
       shape.c[k][0] = BASE[piece_id][k][0];
       shape.c[k][1] = BASE[piece_id][k][1];
     }
-    has_piece = true;
   }
 
   // _clear_lines (tetris_env.py:205-216): full-row scan + stable downward
@@ -364,7 +362,6 @@ void* tetris_new(int width, int height, int lock_delay, int step_reset,
   g->pen_holes = pen_holes != 0;
   g->pen_holes_inc = pen_holes_inc != 0;
   g->board.assign((size_t)width * height, 0);
-  g->has_piece = false;
   g->ax = g->ay = 0;
   g->piece_id = 0;
   g->shape = Shape{};
@@ -467,17 +464,23 @@ void tetris_drive(void* h, const int32_t* actions, int t_steps, int auto_clear,
 // auto_clear, games that end are clear()ed after emitting (out_r_clear
 // records the spawn draw). Threaded when `threads` > 1 and n is large
 // enough to amortize thread launch.
-void tetris_step_vec(const uint64_t* handles, int n, const int32_t* actions,
-                     int auto_clear, int threads, uint8_t* out_boards,
-                     float* out_rewards, uint8_t* out_dones,
-                     int32_t* out_r_step, int32_t* out_r_clear) {
+// out_boards is laid out with ONE stride (game 0's board size); returns -1
+// without stepping if any handle's board size differs (mixed-geometry
+// batches would silently corrupt the buffer), else 0.
+int tetris_step_vec(const uint64_t* handles, int n, const int32_t* actions,
+                    int auto_clear, int threads, uint8_t* out_boards,
+                    float* out_rewards, uint8_t* out_dones,
+                    int32_t* out_r_step, int32_t* out_r_clear) {
+  const size_t cells = n ? ((Game*)(uintptr_t)handles[0])->board.size() : 0;
+  for (int i = 1; i < n; ++i)
+    if (((Game*)(uintptr_t)handles[i])->board.size() != cells) return -1;
   auto run_range = [&](int lo, int hi) {
     for (int i = lo; i < hi; ++i) {
       Game* g = (Game*)(uintptr_t)handles[i];
       double reward = 0.0;
       int done = 0, r_used = 0;
       g->step((int)actions[i], 0, &r_used, &reward, &done);
-      g->emit(out_boards + (size_t)i * g->board.size());
+      g->emit(out_boards + (size_t)i * cells);
       out_rewards[i] = (float)reward;
       out_dones[i] = (uint8_t)done;
       if (out_r_step) out_r_step[i] = r_used;
@@ -489,7 +492,7 @@ void tetris_step_vec(const uint64_t* handles, int n, const int32_t* actions,
   threads = std::max(1, std::min(threads, n / 64));  // >=64 games per thread
   if (threads <= 1) {
     run_range(0, n);
-    return;
+    return 0;
   }
   std::vector<std::thread> pool;
   int per = (n + threads - 1) / threads;
@@ -498,20 +501,25 @@ void tetris_step_vec(const uint64_t* handles, int n, const int32_t* actions,
     if (lo < hi) pool.emplace_back(run_range, lo, hi);
   }
   for (auto& th : pool) th.join();
+  return 0;
 }
 
-// Batched clear: reset every handle (recording spawn draws).
-void tetris_clear_vec(const uint64_t* handles, int n, int32_t* out_r,
-                      uint8_t* out_boards) {
+// Batched clear: reset every handle (recording spawn draws). Same uniform
+// board-size contract as tetris_step_vec: returns -1 on mixed geometries.
+int tetris_clear_vec(const uint64_t* handles, int n, int32_t* out_r,
+                     uint8_t* out_boards) {
+  const size_t cells = n ? ((Game*)(uintptr_t)handles[0])->board.size() : 0;
+  for (int i = 1; i < n; ++i)
+    if (((Game*)(uintptr_t)handles[i])->board.size() != cells) return -1;
   for (int i = 0; i < n; ++i) {
     Game* g = (Game*)(uintptr_t)handles[i];
     int r = 0;
     g->clear(0, &r);
     out_r[i] = r;
     if (out_boards)
-      std::memcpy(out_boards + (size_t)i * g->board.size(), g->board.data(),
-                  g->board.size());
+      std::memcpy(out_boards + (size_t)i * cells, g->board.data(), cells);
   }
+  return 0;
 }
 
 // Parallel fuzz-stream generator: n independent games, each cleared once

@@ -141,7 +141,8 @@ def test_native_vector_env_grayscale_obs():
     np.testing.assert_array_equal(obs[0], sobs)
     obs, r, d, _ = venv.step(np.full(4, 2))
     so, sr, sd, _ = single.step(2)
-    np.testing.assert_array_equal(obs[0], so if not sd else obs[0])
+    assert not sd  # one hard drop on an empty board can never kill
+    np.testing.assert_array_equal(obs[0], so)
 
 
 def test_registry_native_backend():
