@@ -111,6 +111,11 @@ def load_library() -> ctypes.CDLL:
                                         u8p, f32p, u8p, i32p, i32p]
         lib.tetris_clear_vec.restype = c.c_int
         lib.tetris_clear_vec.argtypes = [u64p, c.c_int, i32p, u8p]
+        lib.tetris_state_size.restype = c.c_int
+        lib.tetris_state_size.argtypes = [c.c_void_p]
+        lib.tetris_save.argtypes = [c.c_void_p, u8p]
+        lib.tetris_load.restype = c.c_int
+        lib.tetris_load.argtypes = [c.c_void_p, u8p, c.c_int]
         _lib = lib
         return lib
 
@@ -287,6 +292,20 @@ class NativeTetrisEngine:
 
     def get_info(self) -> dict:
         return self.info()
+
+    # -- checkpoint/resume (bit-identical; geometry/flags must match) -----------
+    def save_state(self) -> np.ndarray:
+        buf = np.empty(self._lib.tetris_state_size(self._h), np.uint8)
+        self._lib.tetris_save(self._h, buf)
+        return buf
+
+    def load_state(self, buf: np.ndarray) -> None:
+        buf = np.ascontiguousarray(buf, np.uint8)
+        rc = self._lib.tetris_load(self._h, buf, buf.size)
+        if rc != 0:
+            raise ValueError(
+                f"state size {buf.size} does not match this engine's geometry "
+                f"(expected {self._lib.tetris_state_size(self._h)})")
 
     def drive(self, actions: np.ndarray, auto_clear: bool = True):
         """Run T steps with the internal RNG at native speed.

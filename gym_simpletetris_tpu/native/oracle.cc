@@ -522,6 +522,65 @@ int tetris_clear_vec(const uint64_t* handles, int n, int32_t* out_r,
   return 0;
 }
 
+// Checkpoint/resume: the full game state as a flat buffer —
+// 25 int32 (shape cells, anchor, piece, counters, shape_counts) + 2 uint32
+// (rng) + W*H board bytes. Bit-identical resume (tested in
+// tests/test_native_oracle.py); geometry/flags live in the handle, not the
+// snapshot, and must match on load (checked: returns -1 on size mismatch).
+int tetris_state_size(void* h) {
+  return (int)(27 * 4 + ((Game*)h)->board.size());
+}
+
+void tetris_save(void* h, uint8_t* buf) {
+  Game* g = (Game*)h;
+  int32_t ints[25];
+  int k = 0;
+  for (int c = 0; c < 4; ++c) {
+    ints[k++] = g->shape.c[c][0];
+    ints[k++] = g->shape.c[c][1];
+  }
+  ints[k++] = g->ax;
+  ints[k++] = g->ay;
+  ints[k++] = g->piece_id;
+  ints[k++] = g->time_;
+  ints[k++] = g->score;
+  ints[k++] = g->holes;
+  ints[k++] = g->lines_cleared;
+  ints[k++] = g->piece_height;
+  ints[k++] = g->n_deaths;
+  ints[k++] = g->lock_cnt;
+  for (int i = 0; i < 7; ++i) ints[k++] = g->shape_counts[i];
+  std::memcpy(buf, ints, sizeof(ints));
+  std::memcpy(buf + sizeof(ints), &g->rng, 8);
+  std::memcpy(buf + sizeof(ints) + 8, g->board.data(), g->board.size());
+}
+
+int tetris_load(void* h, const uint8_t* buf, int size) {
+  Game* g = (Game*)h;
+  if (size != tetris_state_size(h)) return -1;
+  int32_t ints[25];
+  std::memcpy(ints, buf, sizeof(ints));
+  int k = 0;
+  for (int c = 0; c < 4; ++c) {
+    g->shape.c[c][0] = ints[k++];
+    g->shape.c[c][1] = ints[k++];
+  }
+  g->ax = ints[k++];
+  g->ay = ints[k++];
+  g->piece_id = ints[k++];
+  g->time_ = ints[k++];
+  g->score = ints[k++];
+  g->holes = ints[k++];
+  g->lines_cleared = ints[k++];
+  g->piece_height = ints[k++];
+  g->n_deaths = ints[k++];
+  g->lock_cnt = ints[k++];
+  for (int i = 0; i < 7; ++i) g->shape_counts[i] = ints[k++];
+  std::memcpy(&g->rng, buf + sizeof(ints), 8);
+  std::memcpy(g->board.data(), buf + sizeof(ints) + 8, g->board.size());
+  return 0;
+}
+
 // Parallel fuzz-stream generator: n independent games, each cleared once
 // (recording the spawn draw in out_r0) and driven t_steps with auto-clear,
 // fanned out over `threads` OS threads. cfg11 = the 11 tetris_new int args

@@ -109,6 +109,32 @@ def test_drive_matches_stepwise():
     assert a.info() == b.info()
 
 
+def test_native_checkpoint_resume_bit_identical():
+    """save_state/load_state must resume the exact trajectory (board, rewards,
+    RNG stream, carry-over counters)."""
+    g = NativeTetrisEngine(seed=33, advanced_clears=True, lock_delay=1)
+    g.clear()
+    rng = np.random.RandomState(4)
+    acts = rng.randint(0, 7, 500).astype(np.int32)
+    for a in acts[:200]:
+        (b, r, d), _ = g.step(int(a))
+        if d:
+            g.clear()
+    snap = g.save_state()
+    tail_a = g.drive(acts[200:], auto_clear=True)
+
+    h = NativeTetrisEngine(seed=999, advanced_clears=True, lock_delay=1)
+    h.load_state(snap)
+    tail_b = h.drive(acts[200:], auto_clear=True)
+    for x, y in zip(tail_a, tail_b):
+        np.testing.assert_array_equal(x, y)
+    assert g.info() == h.info()
+
+    wrong = NativeTetrisEngine(width=6, height=8)
+    with pytest.raises(ValueError):
+        wrong.load_state(snap)
+
+
 def test_drive_many_matches_single_games():
     """The threaded batch driver must equal per-game drive() exactly."""
     n, t = 9, 300
@@ -144,6 +170,12 @@ FUZZ_CONFIGS = [
               high_scoring=True, lock_delay=3),
     EnvConfig(width=9, height=12, advanced_clears=True),
     EnvConfig(width=5, height=6, reward_step=True, lock_delay=1),
+    EnvConfig(width=24, height=20),      # packed-engine width boundary
+    EnvConfig(width=10, height=20, lock_delay=5, step_reset=True,
+              penalise_height=True, penalise_holes_increase=True),
+    EnvConfig(width=16, height=5, high_scoring=True),  # shallow board
+    EnvConfig(width=4, height=32, reward_step=True,
+              penalise_height_increase=True),          # deep narrow board
 ]
 
 
