@@ -84,6 +84,14 @@ def make_gymnasium_env(render_mode=None, **kwargs):
     return _GymnasiumTetris(render_mode=render_mode, **kwargs)
 
 
+def make_gymnasium_vector_env(num_envs: int, backend: str = "tpu",
+                              seed: int = 0, **kwargs):
+    """A ``gymnasium.vector.VectorEnv`` (v1 next-step-autoreset API) over the
+    batched TPU engine or the host C++ engine — see api/gymnasium_vector.py."""
+    from .gymnasium_vector import make_gymnasium_vector_env as _make
+    return _make(num_envs, backend=backend, seed=seed, **kwargs)
+
+
 def register_gymnasium(env_id: str = "SimpleTetris-v0"):
     """Register with gymnasium (if installed) so ``gymnasium.make(env_id)``
     returns a new-API env backed by the TPU engine."""

@@ -44,5 +44,7 @@ def test_tpu_throughput_floor():
     out = env.rollout(out[0], acts)
     np.asarray(out[2].sum())
     sps = 256 * 4096 / (time.time() - t0)
-    # generous floor: >10M north star with 3x margin for noisy neighbors
-    assert sps > 3_000_000, f"ram throughput regressed: {sps:,.0f} steps/s"
+    # measured capability is ~120M (BENCH_LOCAL.md); 20M leaves 6x margin for
+    # noisy neighbors/cold paths while still catching order-of-magnitude
+    # regressions (and stays above the 10M north star)
+    assert sps > 20_000_000, f"ram throughput regressed: {sps:,.0f} steps/s"
