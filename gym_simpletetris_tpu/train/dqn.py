@@ -25,7 +25,8 @@ from ..core.config import EnvConfig
 from ..core.engine import NUM_ACTIONS
 from ..api.env import build_observation, reset_fn, step_fn
 from ..models.dqn import build_q_network
-from .replay import ReplayState, replay_init, replay_insert, replay_sample
+from .replay import (ReplayState, replay_init, replay_insert, replay_sample,
+                     replay_sample_prioritized, replay_update_priority)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +47,14 @@ class DQNConfig:
     dueling: bool = False
     max_grad_norm: float = 10.0
     frame_stack: int = 1   # >1 stacks the last K obs on a trailing channel axis
+    n_step: int = 1        # >1 inserts n-step returns (rolling window, exact
+                           # truncation at episode bounds; TD target becomes
+                           # reward_n + gamma^n * Q(s_{t+n}))
+    prioritized: bool = False  # PER via on-device Gumbel-top-k (replay.py)
+    per_alpha: float = 0.6
+    per_beta0: float = 0.4
+    per_beta_steps: int = 100_000
+    per_eps: float = 1e-3
 
     def __post_init__(self):
         if self.buffer_capacity % self.num_envs:
@@ -63,6 +72,8 @@ class DQNState:
     key: jnp.ndarray          # PRNG key
     step: jnp.ndarray         # int32[] — actor steps taken
     learn_steps: jnp.ndarray  # int32[]
+    window: Any = None        # n-step pending transitions (n_step > 1):
+                              # dict of [n-1, B, ...] arrays
 
 
 def make_train(cfg: DQNConfig):
@@ -105,7 +116,7 @@ def make_train(cfg: DQNConfig):
         obs, env_state = reset_fn(ecfg, cfg.num_envs, k_env)
         obs = _stack_reset(obs)
         params = network.init(k_net, jnp.zeros((1,) + obs_shape, jnp.float32))
-        return DQNState(
+        state = DQNState(
             params=params,
             target_params=jax.tree.map(jnp.copy, params),
             opt_state=tx.init(params),
@@ -116,8 +127,67 @@ def make_train(cfg: DQNConfig):
             step=jnp.zeros((), jnp.int32),
             learn_steps=jnp.zeros((), jnp.int32),
         )
+        if cfg.n_step > 1:
+            # prefill the pending window with n-1 random-policy transitions so
+            # every train_step matures exactly one insertable transition
+            state = state.replace(window=_empty_window())
+            prefill = jax.jit(_prefill_step)
+            for _ in range(cfg.n_step - 1):
+                state = prefill(state)
+        return state
 
-    def td_loss(params, target_params, batch):
+    def _empty_window():
+        n1 = cfg.n_step - 1
+        b = cfg.num_envs
+        return {
+            "obs": jnp.zeros((n1, b) + obs_shape, jnp.uint8),
+            "action": jnp.zeros((n1, b), jnp.int8),
+            "reward": jnp.zeros((n1, b), jnp.float32),
+            "done": jnp.ones((n1, b), jnp.bool_),   # mark slots invalid: a
+            # True done truncates any return crossing an unfilled slot, and
+            # prefill overwrites all of them before training starts
+        }
+
+    def _prefill_step(state: DQNState) -> DQNState:
+        k_act, key = jax.random.split(state.key)
+        action = jax.random.randint(k_act, (cfg.num_envs,), 0, NUM_ACTIONS)
+        raw_next, env_state, reward, done, _ = step_fn(ecfg, state.env_state,
+                                                       action)
+        next_obs = _stack_next(state.obs, raw_next, done)
+        window = _push_window(state.window, state.obs, action, reward, done)
+        return state.replace(env_state=env_state, obs=next_obs, key=key,
+                             window=window)
+
+    def _push_window(window, obs, action, reward, done):
+        """Drop the oldest pending transition, append the newest."""
+        return {
+            "obs": jnp.concatenate(
+                [window["obs"][1:], obs.astype(jnp.uint8)[None]]),
+            "action": jnp.concatenate(
+                [window["action"][1:], action.astype(jnp.int8)[None]]),
+            "reward": jnp.concatenate(
+                [window["reward"][1:], reward.astype(jnp.float32)[None]]),
+            "done": jnp.concatenate([window["done"][1:], done[None]]),
+        }
+
+    def _mature_nstep(window, obs_t, action_t, reward_t, done_t, next_obs_t):
+        """Fold the window + current transition into the matured n-step
+        transition: (obs_0, a_0, R_n, next_obs_t, discount, done_any) with
+        exact truncation at the first episode end inside the horizon."""
+        rew_seq = jnp.concatenate(
+            [window["reward"], reward_t.astype(jnp.float32)[None]])  # [n, B]
+        done_seq = jnp.concatenate([window["done"], done_t[None]])   # [n, B]
+        alive = jnp.ones_like(rew_seq[0])
+        ret = jnp.zeros_like(rew_seq[0])
+        for j in range(cfg.n_step):     # static unroll, n is small
+            ret = ret + (cfg.gamma ** j) * alive * rew_seq[j]
+            alive = alive * (1.0 - done_seq[j].astype(jnp.float32))
+        discount = (cfg.gamma ** cfg.n_step) * alive
+        done_any = done_seq.any(axis=0)
+        return (window["obs"][0].astype(jnp.float32), window["action"][0],
+                ret, next_obs_t, discount, done_any)
+
+    def td_loss(params, target_params, batch, weights):
         q = network.apply(params, batch["obs"])                       # [B, A]
         q_sel = jnp.take_along_axis(q, batch["action"][:, None], 1)[:, 0]
         q_next_t = network.apply(target_params, batch["next_obs"])    # [B, A]
@@ -127,13 +197,13 @@ def make_train(cfg: DQNConfig):
             q_next = jnp.take_along_axis(q_next_t, a_star[:, None], 1)[:, 0]
         else:
             q_next = q_next_t.max(axis=1)
-        target = batch["reward"] + cfg.gamma * q_next * (
-            1.0 - batch["done"].astype(jnp.float32))
+        # unified 1-step/n-step target: discount = gamma^m * (1 - done)
+        target = batch["reward"] + batch["discount"] * q_next
         err = q_sel - jax.lax.stop_gradient(target)
         # Huber loss (standard DQN choice; robust to the -100 death spikes)
         loss = jnp.where(jnp.abs(err) <= 1.0, 0.5 * err * err,
                          jnp.abs(err) - 0.5)
-        return loss.mean(), (err, q_sel)
+        return (loss * weights).mean(), (err, q_sel)
 
     def train_step_fn(state: DQNState):
         k_eps, k_act, k_sample, key = jax.random.split(state.key, 4)
@@ -148,14 +218,39 @@ def make_train(cfg: DQNConfig):
         raw_next, env_state, reward, done, _ = step_fn(ecfg, state.env_state,
                                                        action)
         next_obs = _stack_next(state.obs, raw_next, done)
-        replay = replay_insert(state.replay, state.obs, next_obs, action,
-                               reward, done)
+        if cfg.n_step > 1:
+            m_obs, m_act, m_ret, m_next, m_disc, m_done = _mature_nstep(
+                state.window, state.obs, action, reward, done, next_obs)
+            replay = replay_insert(state.replay, m_obs, m_next, m_act, m_ret,
+                                   m_done, discount=m_disc)
+            window = _push_window(state.window, state.obs, action, reward,
+                                  done)
+        else:
+            replay = replay_insert(state.replay, state.obs, next_obs, action,
+                                   reward, done, gamma=cfg.gamma)
+            window = state.window
 
         # -- learner: one TD step once the buffer has warmed up -----------------
         can_learn = replay.filled >= cfg.learn_starts
-        batch = replay_sample(replay, k_sample, cfg.learn_batch)
+        if cfg.prioritized:
+            frac = jnp.clip(
+                state.learn_steps.astype(jnp.float32) / cfg.per_beta_steps,
+                0, 1)
+            beta = cfg.per_beta0 + (1.0 - cfg.per_beta0) * frac
+            batch, per_idx, weights = replay_sample_prioritized(
+                replay, k_sample, cfg.learn_batch, beta)
+        else:
+            batch = replay_sample(replay, k_sample, cfg.learn_batch)
+            weights = jnp.ones((cfg.learn_batch,), jnp.float32)
         (loss, (err, q_sel)), grads = jax.value_and_grad(
-            td_loss, has_aux=True)(state.params, state.target_params, batch)
+            td_loss, has_aux=True)(state.params, state.target_params, batch,
+                                   weights)
+        if cfg.prioritized:
+            new_prio = replay_update_priority(replay, per_idx, err,
+                                              cfg.per_alpha, cfg.per_eps)
+            replay = jax.tree.map(
+                lambda new, old: jnp.where(can_learn, new, old),
+                new_prio, replay)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         params = jax.tree.map(
@@ -182,7 +277,7 @@ def make_train(cfg: DQNConfig):
         new_state = state.replace(
             params=params, target_params=target_params, opt_state=opt_state,
             replay=replay, env_state=env_state, obs=next_obs, key=key,
-            step=state.step + 1, learn_steps=learn_steps)
+            step=state.step + 1, learn_steps=learn_steps, window=window)
         return new_state, metrics
 
     def train_chunk_fn(state: DQNState, n: int):
