@@ -42,6 +42,13 @@ def parse_args(argv=None):
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--dueling", action="store_true")
     p.add_argument("--no-double", action="store_true")
+    p.add_argument("--frame-stack", type=int, default=1)
+    p.add_argument("--n-step", type=int, default=1,
+                   help="n-step returns (rolling window, exact truncation)")
+    p.add_argument("--prioritized", action="store_true",
+                   help="prioritized replay (on-device Gumbel-top-k)")
+    p.add_argument("--per-alpha", type=float, default=0.6)
+    p.add_argument("--per-beta0", type=float, default=0.4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-jsonl", default=None)
     p.add_argument("--ckpt", default=None)
@@ -59,7 +66,10 @@ def main(argv=None):
     cfg = DQNConfig(
         env=env, num_envs=args.num_envs, buffer_capacity=args.buffer,
         learn_batch=args.learn_batch, lr=args.lr, gamma=args.gamma,
-        dueling=args.dueling, double_dqn=not args.no_double)
+        dueling=args.dueling, double_dqn=not args.no_double,
+        frame_stack=args.frame_stack, n_step=args.n_step,
+        prioritized=args.prioritized, per_alpha=args.per_alpha,
+        per_beta0=args.per_beta0)
 
     init_fn, _, chunk_fn, _ = make_train(cfg)
     state = init_fn(jax.random.PRNGKey(args.seed))
