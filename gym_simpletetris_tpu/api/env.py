@@ -78,6 +78,17 @@ def _select_done(done: jnp.ndarray, new: EnvState, old: EnvState) -> EnvState:
     )
 
 
+def apply_reset_mask(cfg: EnvConfig, state: EnvState, emitted: jnp.ndarray,
+                     mask: jnp.ndarray):
+    """Episode-reset the envs selected by ``mask`` (bool[B]): their state is
+    clear()ed (carry-over semantics) and their emitted board becomes the empty
+    reset board. Shared by auto_reset (mask = done) and the gymnasium
+    next-step-autoreset adapter (mask = pending-from-last-step)."""
+    cleared_state, cleared_rows = E.engine_clear(cfg, state)
+    new_state = _select_done(mask, cleared_state, state)
+    return new_state, jnp.where(mask[None, :], cleared_rows, emitted)
+
+
 def reset_fn(cfg: EnvConfig, batch_size: int, key,
              injected_r: Optional[jnp.ndarray] = None
              ) -> Tuple[jnp.ndarray, EnvState]:
@@ -117,9 +128,8 @@ def step_fn(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
         out = E.engine_step(cfg, state, action, injected_r=injected_r)
     new_state, emitted = out.state, out.emitted_rows
     if cfg.auto_reset:
-        cleared_state, cleared_rows = E.engine_clear(cfg, new_state)
-        new_state = _select_done(out.done, cleared_state, new_state)
-        emitted = jnp.where(out.done[None, :], cleared_rows, emitted)
+        new_state, emitted = apply_reset_mask(cfg, new_state, emitted,
+                                              out.done)
     obs = build_observation(cfg, emitted)
     info = make_info(new_state)
     return obs, new_state, out.reward, out.done, info

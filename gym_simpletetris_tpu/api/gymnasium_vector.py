@@ -51,8 +51,14 @@ def make_gymnasium_vector_env(num_envs: int, backend: str = "tpu",
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
+    try:  # gymnasium >= 1.0: wrappers assert on the AutoresetMode enum
+        from gymnasium.vector import AutoresetMode
+        _mode = AutoresetMode.NEXT_STEP
+    except ImportError:  # older gymnasium: informational string
+        _mode = "NextStep"
+
     class _GymnasiumTetrisVector(VectorEnv):
-        metadata = {"autoreset_mode": "NextStep"}
+        metadata = {"autoreset_mode": _mode}
 
         def __init__(self):
             self.num_envs = num_envs
@@ -85,26 +91,31 @@ class _JaxVectorCore:
         import jax
         import jax.numpy as jnp
         from ..core import engine as E
-        from .env import (TetrisVectorEnv, _select_done, build_observation,
-                          make_info)
+        from .env import (TetrisVectorEnv, _select_done, apply_reset_mask,
+                          build_observation, make_info)
 
         cfg = EnvConfig(**kwargs)          # auto_reset stays False: the
         assert not cfg.auto_reset          # adapter owns reset timing
         self._jax, self._jnp = jax, jnp
         self._env = TetrisVectorEnv(cfg, batch_size=num_envs)
         self._seed = seed
+        self._reset_count = 0
         self._state = None
         self._pending = np.zeros(num_envs, dtype=bool)
         self.single_observation_space = self._env.observation_space
         self.single_action_space = self._env.action_space
 
         def fused_step(state, action, pending):
-            """Reset pending envs (ignoring their action), step the rest."""
-            cleared_state, cleared_rows = E.engine_clear(cfg, state)
+            """Reset pending envs (ignoring their action), step the rest.
+
+            The stepped results of pending envs are discarded wholesale by
+            ``apply_reset_mask`` (their reset comes from the PRE-step state),
+            so the ignored action cannot leak — including into the deaths
+            counter or RNG-visible state."""
             out = E.engine_step(cfg, state, action)
-            new_state = _select_done(pending, cleared_state, out.state)
-            emitted = jnp.where(pending[None, :], cleared_rows,
-                                out.emitted_rows)
+            new_state, emitted = apply_reset_mask(
+                cfg, _select_done(pending, state, out.state),
+                out.emitted_rows, pending)
             obs = build_observation(cfg, emitted)
             reward = jnp.where(pending, 0.0, out.reward)
             term = jnp.where(pending, False, out.done)
@@ -117,7 +128,13 @@ class _JaxVectorCore:
         from .env import make_info
         if seed is not None:
             self._seed = seed
-        obs, self._state = self._env.reset(jax.random.PRNGKey(self._seed))
+            self._reset_count = 0
+        # gymnasium convention: reset(seed=None) must NOT replay the same
+        # episodes — fold a reset counter into the key
+        key = jax.random.fold_in(jax.random.PRNGKey(self._seed),
+                                 self._reset_count)
+        self._reset_count += 1
+        obs, self._state = self._env.reset(key)
         self._pending[:] = False
         info = {k: np.asarray(v) for k, v in make_info(self._state).items()}
         return np.asarray(obs), info
@@ -150,8 +167,8 @@ class _NativeVectorCore:
         self.single_action_space = self._venv.action_space
 
     def reset(self, seed=None):
-        # seed was fixed at construction (splitmix64 per game); gymnasium's
-        # reset(seed=) re-seeding is not supported mid-run — document & ignore
+        if seed is not None:
+            self._venv.reseed(seed)   # fresh engines + splitmix streams
         obs = self._venv.reset()
         self._pending[:] = False
         return obs, self._venv.infos()

@@ -189,6 +189,7 @@ class NativeVectorEnv:
         self.with_info = with_info
         self.width = engine_flags.get("width", 10)
         self.height = engine_flags.get("height", 20)
+        self._engine_flags = dict(engine_flags)
         self.engines = [NativeTetrisEngine(seed=seed + i, **engine_flags)
                         for i in range(batch_size)]
         self._handles = np.array([e._h.value for e in self.engines], np.uint64)
@@ -241,15 +242,22 @@ class NativeVectorEnv:
         return (self._observation(boards), rewards,
                 dones.astype(bool), info)
 
+    def reseed(self, seed: int) -> None:
+        """Replace every game with a fresh engine (new splitmix64 streams).
+        Call reset() afterwards to start the new episodes."""
+        self.engines = [NativeTetrisEngine(seed=seed + i, **self._engine_flags)
+                        for i in range(self.batch_size)]
+        self._handles = np.array([e._h.value for e in self.engines],
+                                 np.uint64)
+
     def infos(self) -> dict:
-        """Batched get_info: dict of arrays (time/score/... int32[B],
-        statistics int32[B, 7])."""
+        """Batched get_info (one FFI call): dict of arrays (time/score/...
+        int32[B], statistics int32[B, 7])."""
         keys = ("time", "current_piece", "score", "lines_cleared", "holes",
                 "deaths")
         out6 = np.empty((self.batch_size, 6), np.int32)
         counts = np.empty((self.batch_size, 7), np.int32)
-        for i, e in enumerate(self.engines):
-            self._lib.tetris_info(e._h, out6[i], counts[i])
+        self._lib.tetris_info_vec(self._handles, self.batch_size, out6, counts)
         info = {k: out6[:, j].copy() for j, k in enumerate(keys)}
         info["statistics"] = counts
         return info

@@ -111,6 +111,7 @@ def load_library() -> ctypes.CDLL:
                                         u8p, f32p, u8p, i32p, i32p]
         lib.tetris_clear_vec.restype = c.c_int
         lib.tetris_clear_vec.argtypes = [u64p, c.c_int, i32p, u8p]
+        lib.tetris_info_vec.argtypes = [u64p, c.c_int, i32p, i32p]
         lib.tetris_state_size.restype = c.c_int
         lib.tetris_state_size.argtypes = [c.c_void_p]
         lib.tetris_save.argtypes = [c.c_void_p, u8p]
@@ -302,10 +303,14 @@ class NativeTetrisEngine:
     def load_state(self, buf: np.ndarray) -> None:
         buf = np.ascontiguousarray(buf, np.uint8)
         rc = self._lib.tetris_load(self._h, buf, buf.size)
-        if rc != 0:
+        if rc == -1:
             raise ValueError(
                 f"state size {buf.size} does not match this engine's geometry "
                 f"(expected {self._lib.tetris_state_size(self._h)})")
+        if rc == -2:
+            raise ValueError(
+                "snapshot header mismatch: width/height/flags of the saved "
+                "engine differ from this engine's configuration")
 
     def drive(self, actions: np.ndarray, auto_clear: bool = True):
         """Run T steps with the internal RNG at native speed.

@@ -522,17 +522,38 @@ int tetris_clear_vec(const uint64_t* handles, int n, int32_t* out_r,
   return 0;
 }
 
+// Batched get_info: one FFI call for the whole handle array (the per-step
+// info path of the host vector env; a Python-side loop of tetris_info calls
+// measured as the dominant per-step cost).
+void tetris_info_vec(const uint64_t* handles, int n, int32_t* out6,
+                     int32_t* counts7) {
+  for (int i = 0; i < n; ++i)
+    tetris_info((void*)(uintptr_t)handles[i], out6 + (size_t)i * 6,
+                counts7 + (size_t)i * 7);
+}
+
 // Checkpoint/resume: the full game state as a flat buffer —
-// 25 int32 (shape cells, anchor, piece, counters, shape_counts) + 2 uint32
-// (rng) + W*H board bytes. Bit-identical resume (tested in
-// tests/test_native_oracle.py); geometry/flags live in the handle, not the
-// snapshot, and must match on load (checked: returns -1 on size mismatch).
+// 3-int header (width, height, packed flags incl. lock_delay) + 25 int32
+// (shape cells, anchor, piece, counters, shape_counts) + 2 uint32 (rng) +
+// W*H board bytes. Bit-identical resume (tests/test_native_oracle.py). Load
+// verifies size (-1) AND the header against the target engine's geometry and
+// reward/FSM flags (-2) — a snapshot only resumes into an identically
+// configured engine.
 int tetris_state_size(void* h) {
-  return (int)(27 * 4 + ((Game*)h)->board.size());
+  return (int)(30 * 4 + ((Game*)h)->board.size());
+}
+
+static int32_t pack_flags(const Game* g) {
+  return (g->lock_delay << 9) | (g->step_reset << 8) | (g->reward_step << 7) |
+         (g->pen_height << 6) | (g->pen_height_inc << 5) | (g->advanced << 4) |
+         (g->high_scoring << 3) | (g->pen_holes << 2) | (g->pen_holes_inc << 1);
 }
 
 void tetris_save(void* h, uint8_t* buf) {
   Game* g = (Game*)h;
+  int32_t hdr[3] = {g->width, g->height, pack_flags(g)};
+  std::memcpy(buf, hdr, sizeof(hdr));
+  buf += sizeof(hdr);
   int32_t ints[25];
   int k = 0;
   for (int c = 0; c < 4; ++c) {
@@ -558,6 +579,11 @@ void tetris_save(void* h, uint8_t* buf) {
 int tetris_load(void* h, const uint8_t* buf, int size) {
   Game* g = (Game*)h;
   if (size != tetris_state_size(h)) return -1;
+  int32_t hdr[3];
+  std::memcpy(hdr, buf, sizeof(hdr));
+  if (hdr[0] != g->width || hdr[1] != g->height || hdr[2] != pack_flags(g))
+    return -2;
+  buf += sizeof(hdr);
   int32_t ints[25];
   std::memcpy(ints, buf, sizeof(ints));
   int k = 0;

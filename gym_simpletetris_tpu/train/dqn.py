@@ -59,6 +59,11 @@ class DQNConfig:
     def __post_init__(self):
         if self.buffer_capacity % self.num_envs:
             raise ValueError("buffer_capacity must be a multiple of num_envs")
+        if self.prioritized and self.learn_starts < self.learn_batch:
+            raise ValueError(
+                "prioritized=True requires learn_starts >= learn_batch: "
+                "Gumbel-top-k sampling must draw from >= learn_batch filled "
+                "rows (unfilled rows are zero-weighted but still waste batch)")
 
 
 @struct.dataclass

@@ -72,14 +72,18 @@ def replay_init(capacity: int, obs_shape: Tuple[int, ...],
 
 
 def replay_insert(rs: ReplayState, obs, next_obs, action, reward, done,
-                  discount=None, gamma: float = 0.99) -> ReplayState:
+                  discount=None, *, gamma: float = None) -> ReplayState:
     """Insert one env-batch block of B transitions at the ring pointer.
 
-    ``discount`` defaults to the 1-step ``gamma * (1 - done)``. New rows get
-    the running max priority (standard PER bootstrap; harmless when sampling
-    uniformly).
+    Exactly one of ``discount`` (precomputed, e.g. n-step gamma^n*(1-done))
+    or ``gamma`` (the 1-step ``gamma * (1 - done)`` is derived) must be given
+    — there is deliberately no default discount rate to silently mismatch the
+    learner's. New rows get the running max priority (standard PER bootstrap;
+    harmless when sampling uniformly).
     """
     b = obs.shape[0]
+    if (discount is None) == (gamma is None):
+        raise TypeError("pass exactly one of discount= or gamma=")
     if discount is None:
         discount = gamma * (1.0 - done.astype(jnp.float32))
     start = (rs.ptr,) + (0,) * (obs.ndim - 1)
@@ -135,6 +139,10 @@ def replay_sample_prioritized(rs: ReplayState, key, batch: int, beta):
     prob = jnp.take(p, idx) / sum_p                       # P(i)
     n = jnp.maximum(rs.filled, 1).astype(jnp.float32)
     w = (1.0 / (n * jnp.maximum(prob, 1e-12))) ** beta
+    # rows beyond the filled region (batch > filled during warmup) have
+    # P(i)=0: zero their weight BEFORE normalizing, or their huge 1/P weight
+    # would both train on garbage and collapse real rows' weights to ~0
+    w = jnp.where(prob > 0, w, 0.0)
     w = w / jnp.maximum(w.max(), 1e-12)
     return out, idx, w
 

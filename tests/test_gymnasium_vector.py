@@ -51,6 +51,32 @@ def test_vector_env_api_and_autoreset_convention(backend):
     env.close()
 
 
+def test_standard_wrappers_accept_adapter():
+    """gymnasium's own vector wrappers assert on the AutoresetMode enum —
+    regression for the string-metadata bug."""
+    from gymnasium.wrappers.vector import RecordEpisodeStatistics
+    env = make_gymnasium_vector_env(4, backend="tpu", obs_type="ram",
+                                    reward_step=True, seed=4)
+    wrapped = RecordEpisodeStatistics(env)
+    wrapped.reset()
+    rng = np.random.RandomState(0)
+    finished = 0
+    for _ in range(200):
+        obs, rew, term, trunc, info = wrapped.step(rng.randint(0, 7, 4))
+        if "episode" in info:
+            finished += int(np.asarray(info["_episode"]).sum())
+    assert finished > 0
+
+
+def test_reset_without_seed_gives_fresh_episodes():
+    env = make_gymnasium_vector_env(4, backend="tpu", obs_type="ram", seed=1)
+    env.reset()
+    tr1 = [env.step(np.full(4, 2))[0].copy() for _ in range(8)]
+    env.reset()
+    tr2 = [env.step(np.full(4, 2))[0].copy() for _ in range(8)]
+    assert any(not np.array_equal(a, b) for a, b in zip(tr1, tr2))
+
+
 @pytest.mark.parametrize("backend", BACKENDS)
 def test_vector_env_grayscale_spaces(backend):
     env = make_gymnasium_vector_env(4, backend=backend, obs_type="grayscale")

@@ -133,6 +133,13 @@ def test_native_checkpoint_resume_bit_identical():
     wrong = NativeTetrisEngine(width=6, height=8)
     with pytest.raises(ValueError):
         wrong.load_state(snap)
+    # same byte size but transposed geometry / different flags: header check
+    transposed = NativeTetrisEngine(width=20, height=10)
+    with pytest.raises(ValueError, match="header"):
+        transposed.load_state(snap)
+    wrong_flags = NativeTetrisEngine(advanced_clears=True, lock_delay=2)
+    with pytest.raises(ValueError, match="header"):
+        wrong_flags.load_state(snap)
 
 
 def test_drive_many_matches_single_games():

@@ -19,7 +19,7 @@ def test_prioritized_sampling_concentrates_on_high_priority():
     for i in range(8):
         obs = jnp.full((8, 2), i, jnp.float32)
         rs = replay_insert(rs, obs, obs, jnp.zeros(8, jnp.int32),
-                           jnp.zeros(8), jnp.zeros(8, bool))
+                           jnp.zeros(8), jnp.zeros(8, bool), gamma=0.99)
     # give rows 0..7 priority 100, the rest 1
     prio = jnp.ones(64).at[:8].set(100.0)
     rs = rs.replace(priority=prio)
@@ -40,12 +40,31 @@ def test_prioritized_sampling_concentrates_on_high_priority():
     assert w.max() == pytest.approx(1.0)
 
 
+def test_prioritized_warmup_zero_weights_unfilled_rows():
+    """batch > filled: unfilled rows may be drawn but must carry zero weight
+    (regression: their 1/P(i) weight used to collapse real rows to ~0)."""
+    rs = replay_init(64, (2,), insert_width=8)
+    rs = replay_insert(rs, jnp.ones((8, 2)), jnp.ones((8, 2)),
+                       jnp.zeros(8, jnp.int32), jnp.zeros(8),
+                       jnp.zeros(8, bool), gamma=0.99)
+    _, idx, w = replay_sample_prioritized(rs, jax.random.PRNGKey(0), 32,
+                                          beta=1.0)
+    idx, w = np.asarray(idx), np.asarray(w)
+    filled = idx < 8
+    assert (w[~filled] == 0.0).all()
+    assert w[filled].max() == pytest.approx(1.0)
+    # DQNConfig refuses the degenerate configuration outright
+    with pytest.raises(ValueError):
+        DQNConfig(num_envs=16, buffer_capacity=2048, learn_batch=128,
+                  learn_starts=64, prioritized=True)
+
+
 def test_priority_update_writes_alpha_power():
     rs = replay_init(16, (1,), insert_width=4)
     for _ in range(4):
         rs = replay_insert(rs, jnp.zeros((4, 1)), jnp.zeros((4, 1)),
                            jnp.zeros(4, jnp.int32), jnp.zeros(4),
-                           jnp.zeros(4, bool))
+                           jnp.zeros(4, bool), gamma=0.99)
     idx = jnp.array([0, 5, 9])
     rs2 = replay_update_priority(rs, idx, jnp.array([1.0, -3.0, 0.0]),
                                  alpha=0.5, eps=0.0)

@@ -17,7 +17,7 @@ def test_replay_ring_semantics():
     for i in range(6):  # wraps after 4 inserts
         obs = jnp.full((4, 4), i, jnp.uint8)
         rs = replay_insert(rs, obs, obs + 100, jnp.full((4,), i, jnp.int32),
-                           jnp.full((4,), float(i)), jnp.zeros((4,), bool))
+                           jnp.full((4,), float(i)), jnp.zeros((4,), bool), gamma=0.99)
     assert int(rs.filled) == 16
     assert int(rs.ptr) == (6 * 4) % 16
     # ring: slots hold the last 4 inserts (2,3,4,5), oldest overwritten
