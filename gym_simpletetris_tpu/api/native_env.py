@@ -178,9 +178,11 @@ class NativeVectorEnv:
     def __init__(self, batch_size: int, obs_type: str = "ram",
                  extend_dims: bool = False, auto_reset: bool = True,
                  seed: int = 0, threads: int = 0, with_info: bool = False,
-                 **engine_flags):
+                 render_mode: str = "rgb_array",  # stored-but-unused, like
+                 **engine_flags):                 # the reference (:348,362)
         if obs_type not in OBS_TYPES:
             raise ValueError(f"obs_type={obs_type!r} not in {OBS_TYPES}")
+        self.render_mode = render_mode
         self._lib = load_library()
         self.batch_size = batch_size
         self.obs_type, self.extend_dims = obs_type, extend_dims

@@ -31,10 +31,9 @@ def make(env_id: str = "SimpleTetris-v0", batch_size: int = None,
         raise KeyError(f"unknown env id {env_id!r}; known: {list(_REGISTRY)}")
     merged = {**_REGISTRY[env_id], **kwargs}
     if backend == "native":
+        from .native_env import NativeTetrisEnv, NativeVectorEnv
         if batch_size is not None:
-            raise ValueError("backend='native' is single-env; use the vector "
-                             "env (TPU) for batching")
-        from .native_env import NativeTetrisEnv
+            return NativeVectorEnv(batch_size, **merged)
         return NativeTetrisEnv(**merged)
     if backend != "tpu":
         raise ValueError(f"unknown backend {backend!r}; use 'tpu' or 'native'")

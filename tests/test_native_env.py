@@ -153,7 +153,12 @@ def test_registry_native_backend():
     assert obs.shape == (84, 84)
     obs, r, d, info = env.step(6)
     assert set(np.unique(obs)) <= {0.0, 128.0, 190.0}
-    with pytest.raises(ValueError):
-        make("SimpleTetris-v0", backend="native", batch_size=4)
+    from gym_simpletetris_tpu.api.native_env import NativeVectorEnv
+    venv = make("SimpleTetris-v0", backend="native", batch_size=4,
+                obs_type="ram", reward_step=True)
+    assert isinstance(venv, NativeVectorEnv)
+    venv.reset()
+    obs, rew, done, _ = venv.step(np.full(4, 3))
+    assert obs.shape == (4, 10, 20) and rew.shape == (4,)
     with pytest.raises(ValueError):
         make("SimpleTetris-v0", backend="cuda")

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Randomized soak fuzz: JAX engine vs native C++ oracle over random configs.
+
+Samples random (width, height, lock_delay, step_reset, scoring-flag-subset)
+configurations and lockstep-fuzzes B envs x T steps per config with injected
+draw streams, asserting bitwise boards/rewards/dones/carry-over. The CI fuzz
+(tests/test_native_oracle.py) covers a fixed 10-config matrix; this tool
+covers the combinatorial space at soak depth.
+
+Usage: python tools/soak_fuzz.py [--configs 30] [--batch 64] [--steps 1024]
+                                 [--seed 0] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=1024)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (default: whatever JAX picks)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gym_simpletetris_tpu import EnvConfig
+    from gym_simpletetris_tpu.core import engine as E
+    from gym_simpletetris_tpu.core.state import init_state
+    from gym_simpletetris_tpu.api.env import _select_done
+    from gym_simpletetris_tpu.ops.bitops import unpack_board
+    from gym_simpletetris_tpu.native import drive_many
+
+    FLAG_KEYS = ("lock_delay", "step_reset", "reward_step", "penalise_height",
+                 "penalise_height_increase", "advanced_clears", "high_scoring",
+                 "penalise_holes", "penalise_holes_increase")
+
+    rng = np.random.RandomState(args.seed)
+    B, T = args.batch, args.steps
+    total = 0
+    t0 = time.time()
+    for ci in range(args.configs):
+        cfg = EnvConfig(
+            width=int(rng.randint(4, 25)),
+            height=int(rng.randint(4, 33)),
+            lock_delay=int(rng.choice([0, 0, 1, 2, 5])),
+            step_reset=bool(rng.randint(2)),
+            reward_step=bool(rng.randint(2)),
+            penalise_height=bool(rng.randint(2)),
+            penalise_height_increase=bool(rng.randint(2)),
+            advanced_clears=bool(rng.randint(2)),
+            high_scoring=bool(rng.randint(2)),
+            penalise_holes=bool(rng.randint(2)),
+            penalise_holes_increase=bool(rng.randint(2)),
+        )
+        actions = rng.randint(0, 7, size=(T, B)).astype(np.int32)
+        out = drive_many(actions.T,
+                         rng.randint(1, 1 << 31, B).astype(np.uint64),
+                         width=cfg.width, height=cfg.height,
+                         **{k: getattr(cfg, k) for k in FLAG_KEYS})
+        state = init_state(cfg, B, jax.random.PRNGKey(ci))
+        state, _ = jax.jit(
+            lambda s, r: E.engine_clear(cfg, s, injected_r=r))(
+                state, jnp.asarray(out["r0"]))
+
+        def body(st, xs):
+            a, rs_, rc_ = xs
+            o = E.engine_step(cfg, st, a, injected_r=rs_)
+            cleared, _ = E.engine_clear(cfg, o.state, injected_r=rc_)
+            return _select_done(o.done, cleared, o.state), \
+                (o.emitted_rows, o.reward, o.done)
+
+        xs = (jnp.asarray(actions), jnp.asarray(out["r_step"].T),
+              jnp.asarray(out["r_clear"].T))
+        fs, (em, rew, done) = jax.jit(
+            lambda s, xs: jax.lax.scan(body, s, xs))(state, xs)
+        bj = np.asarray(jax.vmap(
+            lambda e: unpack_board(cfg, e, dtype=jnp.uint8))(em))
+        np.testing.assert_array_equal(
+            bj, np.transpose(out["boards"], (1, 0, 2, 3)),
+            err_msg=f"cfg={cfg}")
+        np.testing.assert_array_equal(np.asarray(rew), out["rewards"].T,
+                                      err_msg=f"cfg={cfg}")
+        np.testing.assert_array_equal(
+            np.asarray(done).astype(np.uint8), out["dones"].T,
+            err_msg=f"cfg={cfg}")
+        np.testing.assert_array_equal(np.asarray(fs.deaths), out["deaths"])
+        np.testing.assert_array_equal(np.asarray(fs.shape_counts).T,
+                                      out["counts"])
+        total += B * T
+        print(f"[{ci+1}/{args.configs}] w{cfg.width} h{cfg.height} "
+              f"ld{cfg.lock_delay} flags="
+              f"{''.join(str(int(getattr(cfg, k))) for k in FLAG_KEYS[1:])} "
+              f"OK ({total/1e6:.2f}M steps, {time.time()-t0:.0f}s)",
+              flush=True)
+    print(f"SOAK PASS: {total/1e6:.2f}M steps bitwise across "
+          f"{args.configs} random configs")
+
+
+if __name__ == "__main__":
+    main()
