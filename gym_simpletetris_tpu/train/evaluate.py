@@ -48,6 +48,21 @@ def make_action_fn(name: str, cfg: EnvConfig, batch: int, ckpt: str = None,
         from ..models.heuristic import make_heuristic_policy
         pol = make_heuristic_policy(cfg)
         return lambda obs, st: pol(st)
+    if name == "ppo":
+        if ckpt is None:
+            raise ValueError("--ckpt required for the ppo policy")
+        from ..models.actor_critic import ActorCritic
+        from ..utils.checkpoint import restore_checkpoint
+        net = ActorCritic(obs_type=cfg.obs_type)
+        tree = restore_checkpoint(ckpt)
+        params = tree["params"] if isinstance(tree, dict) and "params" in tree \
+            else tree.params
+
+        @jax.jit
+        def act_ppo(obs):
+            logits, _ = net.apply(params, jnp.asarray(obs, jnp.float32))
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return lambda obs, st: act_ppo(obs)
     if name == "dqn":
         if ckpt is None:
             raise ValueError("--ckpt required for the dqn policy")

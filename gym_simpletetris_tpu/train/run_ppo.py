@@ -1,0 +1,80 @@
+"""PPO training CLI (mirrors run_dqn.py for the second trainer family).
+
+    python -m gym_simpletetris_tpu.train.run_ppo --num-envs 1024 \
+        --updates 200 --ckpt /tmp/ppo_ckpt --log-jsonl ppo.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+from ..core.config import EnvConfig
+from .ppo import PPOConfig, make_ppo
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--obs", default="ram", choices=["ram", "grayscale", "rgb"])
+    p.add_argument("--obs-dtype", default="float32",
+                   choices=["float32", "uint8"])
+    p.add_argument("--width", type=int, default=10)
+    p.add_argument("--height", type=int, default=20)
+    p.add_argument("--reward-step", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--penalise-holes", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--num-envs", type=int, default=1024)
+    p.add_argument("--rollout-len", type=int, default=64)
+    p.add_argument("--updates", type=int, default=100)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--minibatches", type=int, default=8)
+    p.add_argument("--entropy-coef", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-jsonl", default=None)
+    p.add_argument("--ckpt", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    env = EnvConfig(width=args.width, height=args.height, obs_type=args.obs,
+                    obs_dtype=args.obs_dtype, auto_reset=True,
+                    reward_step=args.reward_step,
+                    penalise_holes=args.penalise_holes)
+    cfg = PPOConfig(env=env, num_envs=args.num_envs,
+                    rollout_len=args.rollout_len, lr=args.lr,
+                    epochs=args.epochs, num_minibatches=args.minibatches,
+                    entropy_coef=args.entropy_coef)
+    init_fn, update_fn, _ = make_ppo(cfg)
+    state = init_fn(jax.random.PRNGKey(args.seed))
+    upd = jax.jit(update_fn)
+
+    sink = open(args.log_jsonl, "a") if args.log_jsonl else None
+    t0 = time.time()
+    for u in range(args.updates):
+        state, metrics = upd(state)
+        rec = {k: float(v) for k, v in metrics.items()}
+        env_steps = (u + 1) * cfg.num_envs * cfg.rollout_len
+        rec.update(update=u + 1, env_steps=env_steps,
+                   wall_s=round(time.time() - t0, 2),
+                   sps=round(env_steps / (time.time() - t0), 1))
+        line = json.dumps(rec)
+        print(line, flush=True)
+        if sink:
+            sink.write(line + "\n")
+            sink.flush()
+    if args.ckpt:
+        from ..utils.checkpoint import save_checkpoint
+        save_checkpoint(args.ckpt, state)
+    if sink:
+        sink.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,21 @@ def test_evaluate_cli():
     assert r["random"]["episodes"] > 0
 
 
+def test_run_ppo_cli_and_ppo_eval(tmp_path):
+    """Train PPO via the CLI (tiny), checkpoint, evaluate the checkpoint."""
+    from gym_simpletetris_tpu.train.run_ppo import main as train_main
+    from gym_simpletetris_tpu.train.evaluate import main as eval_main
+    ckpt = str(tmp_path / "ppo_ckpt")
+    log = str(tmp_path / "ppo.jsonl")
+    train_main(["--num-envs", "8", "--rollout-len", "8", "--updates", "3",
+                "--minibatches", "2", "--width", "6", "--height", "8",
+                "--ckpt", ckpt, "--log-jsonl", log])
+    assert len(open(log).readlines()) == 3
+    r = eval_main(["--policies", "ppo", "--num-envs", "8", "--steps", "60",
+                   "--width", "6", "--height", "8", "--ckpt", ckpt])
+    assert r["ppo"]["episodes"] > 0
+
+
 def test_long_horizon_parity_with_resets():
     """1000-step lockstep incl. many episode resets (cross-episode carry-over
     exercised at length)."""
