@@ -25,7 +25,7 @@ import numpy as np
 import os
 
 from ..native import NativeTetrisEngine, PIECE_NAMES, load_library
-from ..ops.raster import rasterize_host, rasterize_host_batch
+from ..ops.raster import rasterize_host
 from . import spaces
 
 OBS_TYPES = ("ram", "grayscale", "rgb")
@@ -178,16 +178,24 @@ class NativeVectorEnv:
     def __init__(self, batch_size: int, obs_type: str = "ram",
                  extend_dims: bool = False, auto_reset: bool = True,
                  seed: int = 0, threads: int = 0, with_info: bool = False,
+                 obs_dtype: str = "float32",
                  render_mode: str = "rgb_array",  # stored-but-unused, like
                  **engine_flags):                 # the reference (:348,362)
         if obs_type not in OBS_TYPES:
             raise ValueError(f"obs_type={obs_type!r} not in {OBS_TYPES}")
+        if obs_dtype not in ("float32", "uint8"):
+            raise ValueError(f"obs_dtype={obs_dtype!r}")
         self.render_mode = render_mode
         self._lib = load_library()
         self.batch_size = batch_size
         self.obs_type, self.extend_dims = obs_type, extend_dims
+        self.obs_dtype = np.float32 if obs_dtype == "float32" else np.uint8
         self.auto_reset = auto_reset
-        self.threads = threads or (os.cpu_count() or 1)
+        # default single-thread: per-call work is ~100us at B=1024 and thread
+        # spawn costs more than it saves on small hosts (measured: 2 threads
+        # at B=256-1024 consistently slower); pass threads>1 on many-core
+        # hosts with large batches
+        self.threads = threads or 1
         self.with_info = with_info
         self.width = engine_flags.get("width", 10)
         self.height = engine_flags.get("height", 20)
@@ -202,19 +210,43 @@ class NativeVectorEnv:
             oshape = (84, 84) + ((1,) if extend_dims else ())
         else:
             oshape = (84, 84, 3)
-        self.observation_space = spaces.Box(0, 1, oshape, np.float32)
+        self.observation_space = spaces.Box(0, 1, oshape, self.obs_dtype)
+        if obs_type != "ram":
+            # static raster geometry as per-cell pixel rectangles, indexed in
+            # the engine's x-major board order (no transpose at step time)
+            from ..ops.raster import build_raster_maps, PIECE_SHADE
+            base, cell = build_raster_maps(self.height, self.width, 84)
+            rects = np.zeros((self.width * self.height, 4), np.int32)
+            for c in np.unique(cell[cell >= 0]):
+                rows, cols = np.nonzero(cell == c)
+                y, x = divmod(int(c), self.width)   # raster order y*W + x
+                rects[x * self.height + y] = (rows.min(), cols.min(),
+                                              rows.max() - rows.min() + 1,
+                                              cols.max() - cols.min() + 1)
+            self._raster_rects = np.ascontiguousarray(rects.reshape(-1))
+            self._raster_ch = 3 if obs_type == "rgb" else 1
+            if self._raster_ch == 3:
+                base = np.repeat(base[..., None], 3, axis=-1)
+            self._raster_base = np.ascontiguousarray(base.reshape(-1))
+            self._raster_shade = PIECE_SHADE
 
     def _observation(self, boards: np.ndarray) -> np.ndarray:
-        """boards u8[B, W, H] -> obs float32 per obs_type (batched)."""
+        """boards u8[B, W, H] -> obs per obs_type/obs_dtype (batched; the
+        grayscale raster runs in C++ over static per-cell rectangles)."""
         if self.obs_type == "ram":
-            obs = boards.astype(np.float32)
+            obs = np.asarray(boards, self.obs_dtype)
             return obs[..., None] if self.extend_dims else obs
-        gray = rasterize_host_batch(boards.transpose(0, 2, 1),
-                                    self.height, self.width, 84)
+        n = boards.shape[0]
+        ch = self._raster_ch
+        out = np.empty((n, 84 * 84 * ch), np.uint8)
+        self._lib.tetris_raster_vec(
+            np.ascontiguousarray(boards.reshape(n, -1)), n,
+            self.width * self.height, self._raster_base, self._raster_rects,
+            84, ch, self._raster_shade, self.threads, out)
         if self.obs_type == "grayscale":
-            obs = gray.astype(np.float32)
+            obs = np.asarray(out.reshape(n, 84, 84), self.obs_dtype)
             return obs[..., None] if self.extend_dims else obs
-        return np.repeat(gray[..., None], 3, axis=-1).astype(np.float32)
+        return np.asarray(out.reshape(n, 84, 84, 3), self.obs_dtype)
 
     def reset(self) -> np.ndarray:
         """clear() every game; returns the (empty-board) reset observation."""

@@ -112,6 +112,9 @@ def load_library() -> ctypes.CDLL:
         lib.tetris_clear_vec.restype = c.c_int
         lib.tetris_clear_vec.argtypes = [u64p, c.c_int, i32p, u8p]
         lib.tetris_info_vec.argtypes = [u64p, c.c_int, i32p, i32p]
+        lib.tetris_raster_vec.argtypes = [u8p, c.c_int, c.c_int, u8p, i32p,
+                                          c.c_int, c.c_int, c.c_int, c.c_int,
+                                          u8p]
         lib.tetris_state_size.restype = c.c_int
         lib.tetris_state_size.argtypes = [c.c_void_p]
         lib.tetris_save.argtypes = [c.c_void_p, u8p]

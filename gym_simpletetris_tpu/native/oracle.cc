@@ -522,6 +522,49 @@ int tetris_clear_vec(const uint64_t* handles, int n, int32_t* out_r,
   return 0;
 }
 
+// Batched host raster, sparse formulation: start every image from the
+// all-empty base, then fill only OCCUPIED cells' pixel rectangles with the
+// piece shade (cell blocks never overlap the border, so the filled value is
+// the constant piece shade). ~80 occupied cells x block^2 byte-writes per
+// image instead of a 7056-pixel gather — measured ~20x faster. rects is
+// int32[cells, 4] = (row0, col0, block_h, block_w) per cell in the caller's
+// cell order (precomputed from ops/raster.build_raster_maps).
+// channels: 1 (grayscale) or 3 (rgb; base must be channel-tripled) — the
+// channel axis is innermost, so block fills stay contiguous memsets.
+void tetris_raster_vec(const uint8_t* boards, int n, int cells,
+                       const uint8_t* base, const int32_t* rects, int size,
+                       int channels, int piece_shade, int threads,
+                       uint8_t* out) {
+  const size_t nbytes = (size_t)size * size * channels;
+  const int row = size * channels;
+  auto run_range = [&](int lo, int hi) {
+    for (int i = lo; i < hi; ++i) {
+      const uint8_t* b = boards + (size_t)i * cells;
+      uint8_t* o = out + (size_t)i * nbytes;
+      std::memcpy(o, base, nbytes);
+      for (int c = 0; c < cells; ++c) {
+        if (!b[c]) continue;
+        const int32_t* r = rects + 4 * c;
+        for (int dy = 0; dy < r[2]; ++dy)
+          std::memset(o + (size_t)(r[0] + dy) * row + r[1] * channels,
+                      piece_shade, r[3] * channels);
+      }
+    }
+  };
+  threads = std::max(1, std::min(threads, n / 64));
+  if (threads <= 1) {
+    run_range(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int per = (n + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    int lo = t * per, hi = std::min(n, lo + per);
+    if (lo < hi) pool.emplace_back(run_range, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
+
 // Batched get_info: one FFI call for the whole handle array (the per-step
 // info path of the host vector env; a Python-side loop of tetris_info calls
 // measured as the dominant per-step cost).
