@@ -145,6 +145,23 @@ def test_native_vector_env_grayscale_obs():
     np.testing.assert_array_equal(obs[0], so)
 
 
+@pytest.mark.parametrize("w,h", [(9, 12), (4, 5), (24, 20), (16, 5)])
+def test_vector_env_cpp_raster_matches_numpy(w, h):
+    """The sparse rect-fill C++ raster must equal the gather-map numpy raster
+    for odd geometries (asymmetric padding, non-square boards)."""
+    from gym_simpletetris_tpu.api.native_env import NativeVectorEnv
+    from gym_simpletetris_tpu.ops.raster import rasterize_host_batch
+    venv = NativeVectorEnv(8, obs_type="grayscale", width=w, height=h, seed=2)
+    venv.reset()
+    rng = np.random.RandomState(1)
+    for _ in range(50):
+        venv.step(rng.randint(0, 7, 8))
+    boards = np.stack([e.render() for e in venv.engines])
+    want = rasterize_host_batch(boards.transpose(0, 2, 1), h, w, 84)
+    got = venv._observation(boards)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
 def test_registry_native_backend():
     from gym_simpletetris_tpu.api.registry import make
     env = make("SimpleTetris-v0", backend="native", obs_type="grayscale")
