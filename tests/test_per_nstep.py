@@ -147,6 +147,26 @@ def test_per_nstep_training_smoke():
     assert len(np.unique(p)) > 1
 
 
+def test_all_features_combined_smoke():
+    """frame_stack x n_step x prioritized x conv net x uint8 obs in one run:
+    the feature interactions (stacked obs through the n-step window, PER
+    weights through the conv loss) must produce finite learning steps."""
+    cfg = DQNConfig(
+        env=EnvConfig(obs_type="grayscale", auto_reset=True, reward_step=True,
+                      width=6, height=8, obs_dtype="uint8"),
+        num_envs=8, buffer_capacity=512, learn_batch=16, learn_starts=32,
+        frame_stack=2, n_step=2, prioritized=True, dueling=True,
+        per_beta_steps=50)
+    state, metrics = _run_steps(cfg, 16)
+    assert state.obs.shape == (8, 84, 84, 2)          # stacked channels
+    assert state.replay.obs.shape == (512, 84, 84, 2)
+    assert np.isfinite(metrics["loss"]) and np.isfinite(metrics["mean_q"])
+    assert int(state.learn_steps) > 0
+    d = np.unique(state.replay.discount[: int(state.replay.filled)])
+    assert set(np.round(d.astype(np.float64), 5)) <= \
+        {0.0, round(cfg.gamma ** 2, 5)}
+
+
 def test_nstep_equals_onestep_when_n_is_one():
     cfg1 = DQNConfig(env=EnvConfig(obs_type="ram", auto_reset=True,
                                    width=6, height=8),
