@@ -157,9 +157,8 @@ class _NativeVectorCore:
     def __init__(self, num_envs: int, seed: int, **kwargs):
         from .native_env import NativeVectorEnv
 
-        obs_kw = {k: kwargs.pop(k) for k in ("obs_type", "extend_dims")
-                  if k in kwargs}
-        kwargs.pop("render_mode", None)
+        obs_kw = {k: kwargs.pop(k) for k in
+                  ("obs_type", "extend_dims", "render_mode") if k in kwargs}
         self._venv = NativeVectorEnv(num_envs, auto_reset=False, seed=seed,
                                      with_info=False, **obs_kw, **kwargs)
         self._pending = np.zeros(num_envs, dtype=bool)
@@ -194,7 +193,13 @@ class _NativeVectorCore:
             assert rc == 0
             boards[live], rewards[live] = lb, lr
             term[live] = ld != 0
-        for i in np.nonzero(pend)[0]:     # reset obs = empty board, reward 0
-            v.engines[i].clear()
+        pend_idx = np.nonzero(pend)[0]
+        if pend_idx.size:                 # reset obs = empty board, reward 0
+            r0 = np.empty(pend_idx.size, np.int32)
+            dump = np.empty((pend_idx.size, v.width, v.height), np.uint8)
+            rc = v._lib.tetris_clear_vec(
+                np.ascontiguousarray(v._handles[pend_idx]), pend_idx.size,
+                r0, dump)
+            assert rc == 0
         self._pending = term.copy()
         return v._observation(boards), rewards, term, self._venv.infos()

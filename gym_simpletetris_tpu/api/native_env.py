@@ -210,7 +210,13 @@ class NativeVectorEnv:
             oshape = (84, 84) + ((1,) if extend_dims else ())
         else:
             oshape = (84, 84, 3)
-        self.observation_space = spaces.Box(0, 1, oshape, self.obs_dtype)
+        # float32 keeps the reference's Box(0,1) declaration quirk; uint8 is a
+        # framework extension and declares honest image bounds
+        if obs_dtype == "float32":
+            self.observation_space = spaces.Box(0, 1, oshape, np.float32)
+        else:
+            high = 1 if obs_type == "ram" else 255
+            self.observation_space = spaces.Box(0, high, oshape, np.uint8)
         if obs_type != "ram":
             # static raster geometry as per-cell pixel rectangles, indexed in
             # the engine's x-major board order (no transpose at step time)

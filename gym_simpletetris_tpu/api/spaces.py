@@ -66,7 +66,10 @@ class Box(Space):
 
 
 def observation_space(cfg) -> Box:
-    """Spaces exactly as declared by the reference (tetris_env.py:381-392)."""
+    """Spaces as declared by the reference (tetris_env.py:381-392) for the
+    float32 parity mode — including its Box(0,1)-vs-actual-{0,128,190} quirk.
+    The uint8 native-palette mode is a framework extension with no reference
+    quirk to replicate, so its image Boxes declare the honest (0, 255)."""
     w, h = cfg.width, cfg.height
     if cfg.obs_type == "ram":
         shape = (w, h, 1) if cfg.extend_dims else (w, h)
@@ -74,8 +77,10 @@ def observation_space(cfg) -> Box:
         shape = (84, 84, 1) if cfg.extend_dims else (84, 84)
     else:  # rgb — extend_dims is ignored by the reference here (:391-392)
         shape = (84, 84, 3)
-    dtype = np.float32 if cfg.obs_dtype == "float32" else np.uint8
-    return Box(0, 1, shape, dtype)
+    if cfg.obs_dtype == "float32":
+        return Box(0, 1, shape, np.float32)
+    high = 1 if cfg.obs_type == "ram" else 255
+    return Box(0, high, shape, np.uint8)
 
 
 def action_space() -> Discrete:

@@ -38,6 +38,7 @@ def parse_args(argv=None):
     p.add_argument("--chunk", type=int, default=256)
     p.add_argument("--buffer", type=int, default=262_144)
     p.add_argument("--learn-batch", type=int, default=1024)
+    p.add_argument("--learn-starts", type=int, default=4096)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--dueling", action="store_true")
@@ -65,7 +66,8 @@ def main(argv=None):
         advanced_clears=args.advanced_clears, lock_delay=args.lock_delay)
     cfg = DQNConfig(
         env=env, num_envs=args.num_envs, buffer_capacity=args.buffer,
-        learn_batch=args.learn_batch, lr=args.lr, gamma=args.gamma,
+        learn_batch=args.learn_batch, learn_starts=args.learn_starts,
+        lr=args.lr, gamma=args.gamma,
         dueling=args.dueling, double_dqn=not args.no_double,
         frame_stack=args.frame_stack, n_step=args.n_step,
         prioritized=args.prioritized, per_alpha=args.per_alpha,
@@ -76,29 +78,32 @@ def main(argv=None):
     chunk_jit = jax.jit(lambda s: chunk_fn(s, args.chunk))
 
     sink = open(args.log_jsonl, "a") if args.log_jsonl else None
-    steps, t0 = 0, time.time()
-    last_ckpt = 0
-    while steps < args.total_steps:
-        state, metrics = chunk_jit(state)
-        steps += args.chunk
-        rec = {k: float(v) for k, v in metrics.items()}
-        rec.update(actor_steps=steps, env_steps=steps * cfg.num_envs,
-                   wall_s=round(time.time() - t0, 2),
-                   sps=round(steps * cfg.num_envs / (time.time() - t0), 1))
-        line = json.dumps(rec)
-        print(line, flush=True)
-        if sink:
-            sink.write(line + "\n")
-            sink.flush()
-        if args.ckpt and steps - last_ckpt >= args.ckpt_every:
+    try:
+        steps, t0 = 0, time.time()
+        last_ckpt = 0
+        while steps < args.total_steps:
+            state, metrics = chunk_jit(state)
+            steps += args.chunk
+            rec = {k: float(v) for k, v in metrics.items()}
+            now = time.time()
+            rec.update(actor_steps=steps, env_steps=steps * cfg.num_envs,
+                       wall_s=round(now - t0, 2),
+                       sps=round(steps * cfg.num_envs / (now - t0), 1))
+            line = json.dumps(rec)
+            print(line, flush=True)
+            if sink:
+                sink.write(line + "\n")
+                sink.flush()
+            if args.ckpt and steps - last_ckpt >= args.ckpt_every:
+                from ..utils.checkpoint import save_checkpoint
+                save_checkpoint(args.ckpt, state)
+                last_ckpt = steps
+        if args.ckpt:
             from ..utils.checkpoint import save_checkpoint
             save_checkpoint(args.ckpt, state)
-            last_ckpt = steps
-    if args.ckpt:
-        from ..utils.checkpoint import save_checkpoint
-        save_checkpoint(args.ckpt, state)
-    if sink:
-        sink.close()
+    finally:
+        if sink:
+            sink.close()
     return state
 
 

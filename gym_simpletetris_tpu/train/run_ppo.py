@@ -55,24 +55,27 @@ def main(argv=None):
     upd = jax.jit(update_fn)
 
     sink = open(args.log_jsonl, "a") if args.log_jsonl else None
-    t0 = time.time()
-    for u in range(args.updates):
-        state, metrics = upd(state)
-        rec = {k: float(v) for k, v in metrics.items()}
-        env_steps = (u + 1) * cfg.num_envs * cfg.rollout_len
-        rec.update(update=u + 1, env_steps=env_steps,
-                   wall_s=round(time.time() - t0, 2),
-                   sps=round(env_steps / (time.time() - t0), 1))
-        line = json.dumps(rec)
-        print(line, flush=True)
+    try:
+        t0 = time.time()
+        for u in range(args.updates):
+            state, metrics = upd(state)
+            rec = {k: float(v) for k, v in metrics.items()}
+            env_steps = (u + 1) * cfg.num_envs * cfg.rollout_len
+            now = time.time()
+            rec.update(update=u + 1, env_steps=env_steps,
+                       wall_s=round(now - t0, 2),
+                       sps=round(env_steps / (now - t0), 1))
+            line = json.dumps(rec)
+            print(line, flush=True)
+            if sink:
+                sink.write(line + "\n")
+                sink.flush()
+        if args.ckpt:
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(args.ckpt, state)
+    finally:
         if sink:
-            sink.write(line + "\n")
-            sink.flush()
-    if args.ckpt:
-        from ..utils.checkpoint import save_checkpoint
-        save_checkpoint(args.ckpt, state)
-    if sink:
-        sink.close()
+            sink.close()
     return state
 
 
