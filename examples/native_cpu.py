@@ -8,6 +8,9 @@ Three tiers, slowest to fastest:
 Run: python examples/native_cpu.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
+
 import time
 
 import numpy as np

@@ -1,6 +1,9 @@
 """The reference README's usage example (README.md:36-54), unchanged in shape:
 single env, old-gym API, random actions, 10 episodes."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
+
 from gym_simpletetris_tpu import make
 
 env = make("SimpleTetris-v0")

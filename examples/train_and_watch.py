@@ -1,5 +1,8 @@
 """Train DQN briefly, evaluate vs random + heuristic, save a GIF of the agent."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
+
 import jax
 import jax.numpy as jnp
 import numpy as np

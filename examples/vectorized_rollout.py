@@ -1,5 +1,8 @@
 """Native batched API: 4096 boards in lockstep, scan-fused rollout on TPU."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
+
 import jax
 import numpy as np
 
