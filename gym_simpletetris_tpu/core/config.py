@@ -13,13 +13,16 @@ from typing import Optional
 
 OBS_TYPES = ("ram", "grayscale", "rgb")
 
-# Bit layout of a packed board row (uint32): column x lives at bit (x + XSHIFT).
-# XSHIFT guard bits on the left and 3 on the right absorb piece offsets (|dx| <= 3)
-# so that anchor-shifted masks never wrap; see core/engine.py. This caps the
-# supported width at MAX_WIDTH (reference default is 10; the reference itself has
-# no explicit limit, tetris_env.py:126-140).
+# Bit layout of a packed board row: column x lives at global bit (x + XSHIFT).
+# XSHIFT guard bits below bit 0 and 4 above bit (width-1 + XSHIFT) absorb piece
+# offsets (|dx| <= 3, candidate anchors reach x = width) so anchor-shifted masks
+# never wrap; see core/engine.py. Widths up to MAX_WIDTH_1W pack into a single
+# uint32 per row ([H, B], the fast path); wider boards (the reference has no
+# width limit, tetris_env.py:126-140) split each row over
+# num_words = ceil((width + XSHIFT + 4) / 32) words ([H, NW, B]).
 XSHIFT = 4
-MAX_WIDTH = 24
+MAX_WIDTH_1W = 32 - XSHIFT - 4
+MAX_WIDTH = 1024          # sanity bound only (board memory, raster geometry)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,12 +54,12 @@ class EnvConfig:
     step_reset: bool = False
     # --- new, TPU-framework-only knobs ---
     auto_reset: bool = False
-    raster_impl: str = "auto"    # "auto" | "gather" | "matmul" (MXU) |
-                                 # "pallas" (fused kernel); all pixel-exact.
-                                 # auto = the fastest measured in-scan on v5e
-                                 # @B=4096 per (obs_type, obs_dtype): matmul
-                                 # everywhere except grayscale-f32 (gather) —
-                                 # see BENCH_LOCAL.md sweep
+    raster_impl: str = "auto"    # "auto" | "sep" (separable MXU, fastest) |
+                                 # "bcast" (pure elementwise) | "matmul" |
+                                 # "gather" | "pallas" (fused kernel); all
+                                 # pixel-exact. auto = sep, the fastest
+                                 # measured in-scan on v5e @B=4096 — see
+                                 # BENCH_LOCAL.md round-2 sweep
     obs_dtype: str = "float32"   # "float32" (reference parity, :400) | "uint8"
                                  # (native palette, 4x less HBM traffic)
     step_impl: str = "xla"       # "xla" | "pallas" (fused transition kernel;
@@ -65,14 +68,20 @@ class EnvConfig:
     def __post_init__(self):
         if not (2 <= self.width <= MAX_WIDTH):
             raise ValueError(
-                f"width={self.width} unsupported: packed-row engine requires "
-                f"2 <= width <= {MAX_WIDTH} (uint32 rows with {XSHIFT}+3 guard bits)"
-            )
+                f"width={self.width} unsupported: requires 2 <= width <= "
+                f"{MAX_WIDTH}")
         if self.height < 2:
             raise ValueError(f"height={self.height} must be >= 2")
+        if self.width > MAX_WIDTH_1W and (
+                self.step_impl == "pallas" or self.raster_impl == "pallas"):
+            raise ValueError(
+                f"width={self.width} > {MAX_WIDTH_1W} uses multi-word packed "
+                f"rows; the pallas step/raster kernels cover the single-word "
+                f"fast path only — use the XLA impls")
         if self.obs_type not in OBS_TYPES:
             raise ValueError(f"obs_type={self.obs_type!r} not in {OBS_TYPES}")
-        if self.raster_impl not in ("auto", "matmul", "gather", "pallas"):
+        if self.raster_impl not in ("auto", "matmul", "gather", "bcast", "sep",
+                                    "pallas"):
             raise ValueError(f"raster_impl={self.raster_impl!r}")
         if self.obs_dtype not in ("float32", "uint8"):
             raise ValueError(f"obs_dtype={self.obs_dtype!r}")
@@ -81,16 +90,21 @@ class EnvConfig:
 
     # -- derived, static helpers ------------------------------------------------
     @property
+    def num_words(self) -> int:
+        """uint32 words per packed board row: bits XSHIFT..width-1+XSHIFT+4
+        (guard for candidate anchors at x = width, |dx| <= 3) must fit."""
+        return (self.width + XSHIFT + 4 + 31) // 32
+
+    @property
     def resolved_raster_impl(self) -> str:
         """Resolve raster_impl="auto" to the fastest measured in-scan kernel on
-        v5e @B=4096 (BENCH_LOCAL.md obs sweep): matmul for uint8 obs and for
-        rgb, gather for grayscale-float32 (the f32 accumulator regime where the
-        MXU path's f32 intermediate costs more than the static gather)."""
+        v5e @B=4096 (BENCH_LOCAL.md round-2 obs sweep): the separable
+        two-matmul MXU raster ("sep", ops/raster.py) — 31M env-steps/s vs 22M
+        broadcast / 17M one-big-matmul / 11M gather for the canonical uint8
+        storage observation."""
         if self.raster_impl != "auto":
             return self.raster_impl
-        if self.obs_type == "grayscale" and self.obs_dtype == "float32":
-            return "gather"
-        return "matmul"
+        return "sep"
 
     @property
     def valid_mask(self) -> int:

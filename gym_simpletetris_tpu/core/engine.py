@@ -10,6 +10,12 @@ translation. TPU-shaping decisions (measured on v5e):
   pad to 128 lanes (a 6.4x bandwidth tax for H=20).
 - **Bit-packed rows**: ``uint32[H, B]``, column ``x`` at bit ``x + XSHIFT``.
   Collision is AND, a full row is a compare, holes are popcount of a prefix-OR.
+  Boards wider than 24 columns (the reference has no width limit,
+  tetris_env.py:126-140) use a **multi-word generalization**:
+  ``uint32[H, NW, B]`` with global bit ``x + XSHIFT`` in word ``(x+XSHIFT)//32``
+  — every bit op extends element-wise over the word axis, and the only
+  cross-word operation is the piece-mask placement shift (a two-word
+  funnel shift, ``piece_masks``). NW == 1 keeps the flat ``[H, B]`` layout.
 - **No gathers, no scatters, no sorts.** Per-env row lookups are one-hot
   compare+reduce contractions; the per-(piece,rot) mask table lookup is a tiny
   one-hot matmul; line compaction is a compare-reduce permutation (vmapped
@@ -64,71 +70,114 @@ NUM_ACTIONS = 7
 
 class StepOut(NamedTuple):
     state: EnvState
-    emitted_rows: jnp.ndarray  # uint32[H, B] board copy with active piece burned in
+    emitted_rows: jnp.ndarray  # board copy with active piece burned in
+                               # (uint32[H, B], or [H, NW, B] for wide boards)
     reward: jnp.ndarray        # float32[B]
     done: jnp.ndarray          # bool[B]
 
 
-def _not_valid(cfg: EnvConfig) -> jnp.ndarray:
-    return _U32(~cfg.valid_mask & 0xFFFFFFFF)
+# ------------------------------------------------------------- word-axis helpers
+#
+# Internal currency: word-form arrays with an explicit NW axis just before the
+# batch axis — board rows uint32[H, NW, B], piece masks uint32[NROWS, NW, B].
+# The public/state layout drops the axis when NW == 1 (the flat [H, B] fast
+# path; a size-1 axis is layout-free in XLA, so the word-generic code compiles
+# to the identical single-word kernels).
+
+def _to_words(cfg: EnvConfig, rows: jnp.ndarray) -> jnp.ndarray:
+    """State-layout board rows -> word form uint32[H, NW, B]."""
+    return rows[:, None, :] if rows.ndim == 2 else rows
+
+
+def _from_words(cfg: EnvConfig, rows_w: jnp.ndarray) -> jnp.ndarray:
+    """Word form -> state layout ([H, B] when NW == 1)."""
+    return rows_w[:, 0, :] if cfg.num_words == 1 else rows_w
+
+
+def _valid_words(cfg: EnvConfig) -> np.ndarray:
+    """uint32[NW]: per-word in-board column bits of cfg.valid_mask."""
+    return np.array([(cfg.valid_mask >> (32 * w)) & 0xFFFFFFFF
+                     for w in range(cfg.num_words)], dtype=np.uint32)
+
+
+def _invalid_words(cfg: EnvConfig) -> np.ndarray:
+    """uint32[NW]: per-word complement (guard bits + out-of-board columns)."""
+    return np.array([~v & 0xFFFFFFFF for v in _valid_words(cfg)],
+                    dtype=np.uint32)
 
 
 # ------------------------------------------------------------------ piece masks
 
-def piece_masks(piece: jnp.ndarray, rot: jnp.ndarray, ax: jnp.ndarray,
-                rot_delta: int = 0) -> jnp.ndarray:
-    """Absolute per-relative-row bitmasks: uint32[NROWS, B].
+def piece_masks(cfg: EnvConfig, piece: jnp.ndarray, rot: jnp.ndarray,
+                ax: jnp.ndarray, rot_delta: int = 0) -> jnp.ndarray:
+    """Absolute per-relative-row bitmasks: uint32[NROWS, NW, B].
 
-    Relative row k covers board row ``ay + k - DY_OFF``; bit ``x + XSHIFT`` is
-    column x. Table lookup is a one-hot f32 matmul (entries <= 127, exact); the
-    anchor shift is ``ax + (XSHIFT - 3)`` (stored bits are ``dx + 3``), which is
-    >= 0 for every reachable and candidate position (each piece contains its
-    anchor cell, pinning ax to [0, W); candidates reach ax-1 >= -1).
+    Relative row k covers board row ``ay + k - DY_OFF``; global bit
+    ``x + XSHIFT`` is column x. Table lookup is a one-hot f32 matmul (entries
+    <= 127, exact); the anchor shift is ``s = ax + (XSHIFT - 3)`` (stored bits
+    are ``dx + 3``), which is >= 0 for every reachable and candidate position
+    (each piece contains its anchor cell, pinning ax to [0, W); candidates
+    reach ax-1 >= -1). Word w receives the funnel-shifted slice
+    ``(m << (s - 32w)) | (m >> (32w - s))`` with out-of-range shifts masked.
     """
     pr = piece * 4 + (rot + rot_delta) % 4                       # [B]
     oh = (jnp.arange(28, dtype=_I32)[:, None] == pr[None, :])    # [28, B]
     tab = jnp.asarray(ROWMASKS_FLAT.astype(np.float32).T)        # [NROWS, 28]
     m = jnp.dot(tab, oh.astype(jnp.float32),
-                preferred_element_type=jnp.float32)              # [NROWS, B]
-    shift = (ax + (XSHIFT - 3)).astype(_U32)[None, :]
-    return m.astype(_U32) << shift
+                preferred_element_type=jnp.float32).astype(_U32)  # [NROWS, B]
+    s = ax + (XSHIFT - 3)                                        # int32[B], >= 0
+    nw = cfg.num_words
+    if nw == 1:
+        return (m << s.astype(_U32)[None, :])[:, None, :]
+    words = []
+    for w in range(nw):
+        d = s - 32 * w                                           # int32[B]
+        lsh = jnp.clip(d, 0, 31).astype(_U32)[None, :]
+        rsh = jnp.clip(-d, 0, 31).astype(_U32)[None, :]
+        lv = jnp.where(((d >= 0) & (d < 32))[None, :], m << lsh, _U32(0))
+        rv = jnp.where(((d < 0) & (d > -32))[None, :], m >> rsh, _U32(0))
+        words.append(lv | rv)
+    return jnp.stack(words, axis=1)                              # [NROWS, NW, B]
 
 
 def pad_rows(rows: jnp.ndarray) -> jnp.ndarray:
     """Zero-pad the H axis: DY_OFF rows above the board, NROWS-DY_OFF below.
     Out-of-board rows read as empty; y-bounds are handled arithmetically."""
-    return jnp.pad(rows, ((DY_OFF, NROWS - DY_OFF), (0, 0)))
+    return jnp.pad(rows, ((DY_OFF, NROWS - DY_OFF),)
+                   + ((0, 0),) * (rows.ndim - 1))
 
 
 # ------------------------------------------------------------------- collision
 
 def extract_window(cfg: EnvConfig, rows: jnp.ndarray,
                    ay: jnp.ndarray) -> jnp.ndarray:
-    """Board rows at y = ay-3 .. ay+3 per env, zeros outside: uint32[NROWS, B].
-    One-hot compare+reduce — no gather."""
+    """Board rows at y = ay-3 .. ay+3 per env, zeros outside:
+    uint32[NROWS, NW, B]. One-hot compare+reduce — no gather."""
     H = cfg.height
-    rel = (jnp.arange(H, dtype=_I32)[:, None] - ay[None, :]) + DY_OFF  # [H, B]
+    rows_w = _to_words(cfg, rows)
+    rel = (jnp.arange(H, dtype=_I32)[:, None, None] - ay[None, None, :]) \
+        + DY_OFF                                              # [H, 1, B]
     return jnp.stack(
-        [jnp.sum(jnp.where(rel == k, rows, _U32(0)), axis=0)
-         for k in range(NROWS)], axis=0)
+        [jnp.sum(jnp.where(rel == k, rows_w, _U32(0)), axis=0)
+         for k in range(NROWS)], axis=0)                      # [NROWS, NW, B]
 
 
 def collide_window(cfg: EnvConfig, window: jnp.ndarray, masks: jnp.ndarray,
                    ay: jnp.ndarray) -> jnp.ndarray:
     """Collision for C candidate mask sets sharing one anchor row: bool[C, B].
 
-    window: uint32[NROWS, B]; masks: uint32[C, NROWS, B]; ay: int32[B].
+    window: uint32[NROWS, NW, B]; masks: uint32[C, NROWS, NW, B]; ay: int32[B].
     Replicates ``is_occupied`` (tetris_env.py:29-36) per cell-row: skip if
     y < 0 (before any x check!), else collide on x out-of-board, y >= H (if the
     row has cells), or board-bit overlap.
     """
     H = cfg.height
-    nv = _not_valid(cfg)
+    nv = jnp.asarray(_invalid_words(cfg))[None, None, :, None]
     k = jnp.arange(NROWS, dtype=_I32)[None, :, None]          # [1, NROWS, 1]
     y = ay[None, None, :] + (k - DY_OFF)                      # [1, NROWS, B]
-    nonempty = masks != 0
-    xo = (masks & nv) != 0
-    hit = (window[None] & masks) != 0
+    nonempty = (masks != 0).any(axis=2)                       # [C, NROWS, B]
+    xo = ((masks & nv) != 0).any(axis=2)
+    hit = ((window[None] & masks) != 0).any(axis=2)
     coll = (y >= 0) & (xo | ((y >= H) & nonempty) | hit)
     return coll.any(axis=1)                                   # [C, B]
 
@@ -137,26 +186,29 @@ def collide_profile(cfg: EnvConfig, rows_pad: jnp.ndarray,
                     masks: jnp.ndarray) -> jnp.ndarray:
     """Collision of one mask set at *every* anchor row 0..H: bool[H+1, B].
 
-    One dense pass of 7 static slices subsumes soft-drop, gravity, hard-drop
-    landing and the resting check. ``profile[H]`` is always True (the anchor
-    cell at y=H is out of bounds), so drop distances are well defined.
+    rows_pad: padded board rows (state layout or word form);
+    masks: uint32[NROWS, NW, B]. One dense pass of 7 static slices subsumes
+    soft-drop, gravity, hard-drop landing and the resting check. ``profile[H]``
+    is always True (the anchor cell at y=H is out of bounds), so drop distances
+    are well defined.
     """
     H = cfg.height
     B = masks.shape[-1]
-    nv = _not_valid(cfg)
+    rp = _to_words(cfg, rows_pad)                             # [H+NROWS, NW, B]
+    nv = jnp.asarray(_invalid_words(cfg))[:, None]            # [NW, 1]
     coll = jnp.zeros((H + 1, B), dtype=bool)
     for k in range(NROWS):
-        mk = masks[k][None, :]                                # [1, B]
+        mk = masks[k]                                         # [NW, B]
         # static activity range along the profile axis: row y'+k-3 must be >= 0
         lo = max(0, DY_OFF - k)                               # y' >= 3-k
-        hit = (rows_pad[k:k + H + 1] & mk) != 0               # [H+1, B]
-        xo = (mk & nv) != 0
-        term = hit | xo
+        hit = ((rp[k:k + H + 1] & mk[None]) != 0).any(axis=1)  # [H+1, B]
+        xo = ((mk & nv) != 0).any(axis=0)                     # [B]
+        term = hit | xo[None, :]
         # y' + k - 3 >= H  (static row range), counts only if the row has cells
         yo_lo = H + DY_OFF - k                                # y' >= H+3-k
         if yo_lo <= H:
             yo = jnp.zeros((H + 1, 1), dtype=bool).at[yo_lo:].set(True)
-            term = term | (yo & (mk != 0))
+            term = term | (yo & (mk != 0).any(axis=0)[None, :])
         if lo > 0:
             active = jnp.zeros((H + 1, 1), dtype=bool).at[lo:].set(True)
             term = term & active
@@ -171,17 +223,24 @@ def profile_at(prof: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.any(oh & prof, axis=0)
 
 
-def place_bits(cfg: EnvConfig, masks: jnp.ndarray, ay: jnp.ndarray) -> jnp.ndarray:
-    """Burn a piece into an empty board: uint32[H, B]. Cells outside the board
-    are silently dropped, matching the per-cell bounds check of ``_set_piece``
-    (tetris_env.py:323-327)."""
+def _place_bits_w(cfg: EnvConfig, masks: jnp.ndarray,
+                  ay: jnp.ndarray) -> jnp.ndarray:
+    """Burn a piece into an empty board: word form uint32[H, NW, B]. Cells
+    outside the board are silently dropped, matching the per-cell bounds check
+    of ``_set_piece`` (tetris_env.py:323-327)."""
     H = cfg.height
-    valid = _U32(cfg.valid_mask)
-    rel = (jnp.arange(H, dtype=_I32)[:, None] - ay[None, :]) + DY_OFF  # [H, B]
-    pb = jnp.zeros((H, masks.shape[-1]), dtype=_U32)
+    valid = jnp.asarray(_valid_words(cfg))[None, :, None]     # [1, NW, 1]
+    rel = (jnp.arange(H, dtype=_I32)[:, None, None] - ay[None, None, :]) \
+        + DY_OFF                                              # [H, 1, B]
+    pb = jnp.zeros((H, cfg.num_words, masks.shape[-1]), dtype=_U32)
     for k in range(NROWS):
-        pb = pb | jnp.where(rel == k, masks[k][None, :] & valid, _U32(0))
+        pb = pb | jnp.where(rel == k, masks[k][None] & valid, _U32(0))
     return pb
+
+
+def place_bits(cfg: EnvConfig, masks: jnp.ndarray, ay: jnp.ndarray) -> jnp.ndarray:
+    """``_place_bits_w`` in the state layout ([H, B] when NW == 1)."""
+    return _from_words(cfg, _place_bits_w(cfg, masks, ay))
 
 
 # ----------------------------------------------------------------- board queries
@@ -190,35 +249,46 @@ def count_holes(cfg: EnvConfig, rows: jnp.ndarray) -> jnp.ndarray:
     """Empty cells with any filled cell above, as in
     ``count_nonzero(board.cumsum(y) * ~board)`` (tetris_env.py:218-220):
     popcount of ``~rows & prefixOR(rows)`` (the self-term cancels)."""
-    above = jax.lax.associative_scan(jnp.bitwise_or, rows, axis=0)
-    bits = jnp.bitwise_not(rows) & above & _U32(cfg.valid_mask)
-    return jax.lax.population_count(bits).sum(axis=0).astype(_I32)
+    rw = _to_words(cfg, rows)
+    above = jax.lax.associative_scan(jnp.bitwise_or, rw, axis=0)
+    valid = jnp.asarray(_valid_words(cfg))[None, :, None]
+    bits = jnp.bitwise_not(rw) & above & valid
+    return jax.lax.population_count(bits).sum(axis=(0, 1)).astype(_I32)
 
 
 def nonempty_rows(cfg: EnvConfig, rows: jnp.ndarray) -> jnp.ndarray:
     """Count of rows with any filled cell — the reference's "height"
     (``sum(np.any(board, axis=0))``, tetris_env.py:287); with overhangs this is
     *not* the max column height. Code is the spec."""
-    return ((rows & _U32(cfg.valid_mask)) != 0).sum(axis=0).astype(_I32)
+    rw = _to_words(cfg, rows)
+    valid = jnp.asarray(_valid_words(cfg))[None, :, None]
+    return ((rw & valid) != 0).any(axis=1).sum(axis=0).astype(_I32)
 
 
-def clear_lines(cfg: EnvConfig, rows: jnp.ndarray):
+def _clear_lines_w(cfg: EnvConfig, rows_w: jnp.ndarray):
     """Full-row removal with stable downward compaction (tetris_env.py:205-216).
 
     Each kept row i lands at ``i + (#full rows below i)``; the permutation is a
     compare-reduce contraction over [H_out, H_in, B] — sort/gather/scatter-free.
     """
     H = cfg.height
-    valid = _U32(cfg.valid_mask)
-    full = (rows & valid) == valid                            # [H, B]
+    valid = jnp.asarray(_valid_words(cfg))[None, :, None]     # [1, NW, 1]
+    full = ((rows_w & valid) == valid).all(axis=1)            # [H, B]
     n_full = full.sum(axis=0).astype(_I32)                    # [B]
     below = n_full[None, :] - jnp.cumsum(full.astype(_I32), axis=0)  # [H, B]
     dest = jnp.arange(H, dtype=_I32)[:, None] + below         # [H, B]
     keep = ~full
     out_rows = jnp.arange(H, dtype=_I32)[:, None, None]       # [H_out, 1, 1]
     route = (dest[None] == out_rows) & keep[None]             # [H_out, H_in, B]
-    new_rows = jnp.sum(jnp.where(route, rows[None], _U32(0)), axis=1)
+    new_rows = jnp.sum(jnp.where(route[:, :, None, :], rows_w[None], _U32(0)),
+                       axis=1)                                # [H, NW, B]
     return new_rows, n_full
+
+
+def clear_lines(cfg: EnvConfig, rows: jnp.ndarray):
+    """``_clear_lines_w`` in the state layout."""
+    new_rows, n_full = _clear_lines_w(cfg, _to_words(cfg, rows))
+    return _from_words(cfg, new_rows), n_full
 
 
 # ------------------------------------------------------------------------ sampler
@@ -268,11 +338,11 @@ def candidate_collisions(cfg: EnvConfig, rows, piece, rot, ax, ay):
     ``valid_action_count``). Returns (c_left, c_right, c_rotl, c_rotr)."""
     win = extract_window(cfg, rows, ay)
     cand = jnp.stack([
-        piece_masks(piece, rot, ax - 1),
-        piece_masks(piece, rot, ax + 1),
-        piece_masks(piece, rot, ax, rot_delta=-1),
-        piece_masks(piece, rot, ax, rot_delta=+1),
-    ], axis=0)                                                # [4, NROWS, B]
+        piece_masks(cfg, piece, rot, ax - 1),
+        piece_masks(cfg, piece, rot, ax + 1),
+        piece_masks(cfg, piece, rot, ax, rot_delta=-1),
+        piece_masks(cfg, piece, rot, ax, rot_delta=+1),
+    ], axis=0)                                                # [4, NROWS, NW, B]
     c4 = collide_window(cfg, win, cand, ay)                   # [4, B]
     return c4[0], c4[1], c4[2], c4[3]
 
@@ -286,13 +356,15 @@ def engine_step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
     steps where no spawn occurs.
     """
     H, W = cfg.height, cfg.width
-    rows, piece, rot = state.rows, state.piece, state.rot
+    piece, rot = state.piece, state.rot
     ax, ay, lock = state.ax, state.ay, state.lock
+    rows_w = _to_words(cfg, state.rows)                       # [H, NW, B]
+    valid_w = jnp.asarray(_valid_words(cfg))[:, None]         # [NW, 1]
 
     # -- action: left/right/rotate candidates at the current anchor row ---------
     # (anchor int-coercion at :244 is implicit: anchors are int32)
     c_left, c_right, c_rotl, c_rotr = candidate_collisions(
-        cfg, rows, piece, rot, ax, ay)
+        cfg, rows_w, piece, rot, ax, ay)
 
     is_l = action == A_LEFT
     is_r = action == A_RIGHT
@@ -307,8 +379,8 @@ def engine_step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
 
     # -- one dense collision profile at the post-action configuration -----------
     # (soft/hard/idle don't change rot/ax, so the profile serves them too)
-    masks1 = piece_masks(piece, rot1, ax1)                    # [NROWS, B]
-    rows_pad = pad_rows(rows)
+    masks1 = piece_masks(cfg, piece, rot1, ax1)               # [NROWS, NW, B]
+    rows_pad = pad_rows(rows_w)
     coll = collide_profile(cfg, rows_pad, masks1)             # [H+1, B]
 
     c_soft = profile_at(coll, ay + 1)
@@ -336,11 +408,11 @@ def engine_step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
     locked = resting & (lock1 == 0)
 
     # -- lock: burn piece, clear lines, score, death, penalties, spawn ----------
-    pb_lock = place_bits(cfg, masks1, ay2)
-    rows_locked = rows | jnp.where(locked[None, :], pb_lock, _U32(0))
-    rows_cleared, n_clear = clear_lines(cfg, rows_locked)
+    pb_lock = _place_bits_w(cfg, masks1, ay2)
+    rows_locked = rows_w | jnp.where(locked[None, None, :], pb_lock, _U32(0))
+    rows_cleared, n_clear = _clear_lines_w(cfg, rows_locked)
     n_clear = jnp.where(locked, n_clear, 0)
-    rows_after = jnp.where(locked[None, :], rows_cleared, rows)
+    rows_after = jnp.where(locked[None, None, :], rows_cleared, rows_w)
     lines_next = state.lines_cleared + n_clear
 
     if cfg.advanced_clears:                                   # :266-269
@@ -357,7 +429,7 @@ def engine_step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
         score_inc = n_clear
     score_next = state.score + jnp.where(locked, score_inc, 0)
 
-    death = locked & ((rows_after[0] & _U32(cfg.valid_mask)) != 0)  # :277
+    death = locked & ((rows_after[0] & valid_w) != 0).any(axis=0)   # :277
     alive_lock = locked & ~death
 
     old_holes = state.holes
@@ -399,10 +471,10 @@ def engine_step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
         alive_lock[None, :] & spawn_oh, 1, 0)
 
     # -- emit: burn piece, copy, erase (:301-303) — including the erase quirks --
-    m_emit = piece_masks(piece_next, rot_next, ax_next)
-    pb_emit = place_bits(cfg, m_emit, ay_next)
-    emitted = rows_after | pb_emit
-    rows_next = rows_after & jnp.bitwise_not(pb_emit)
+    m_emit = piece_masks(cfg, piece_next, rot_next, ax_next)
+    pb_emit = _place_bits_w(cfg, m_emit, ay_next)
+    emitted = _from_words(cfg, rows_after | pb_emit)
+    rows_next = _from_words(cfg, rows_after & jnp.bitwise_not(pb_emit))
 
     new_state = state.replace(
         rows=rows_next, piece=piece_next, rot=rot_next,
@@ -445,9 +517,9 @@ def engine_clear(cfg: EnvConfig, state: EnvState,
 
 def render_rows(cfg: EnvConfig, state: EnvState) -> jnp.ndarray:
     """Board copy with the active piece burned in (``TetrisEngine.render``,
-    tetris_env.py:317-321): uint32[H, B]. ``rows`` is invariantly piece-erased,
-    so this is a pure OR."""
-    m = piece_masks(state.piece, state.rot, state.ax)
+    tetris_env.py:317-321), state layout. ``rows`` is invariantly
+    piece-erased, so this is a pure OR."""
+    m = piece_masks(cfg, state.piece, state.rot, state.ax)
     return state.rows | place_bits(cfg, m, state.ay)
 
 
@@ -460,6 +532,6 @@ def valid_action_count(cfg: EnvConfig, state: EnvState) -> jnp.ndarray:
     c4 = jnp.stack(candidate_collisions(
         cfg, state.rows, state.piece, state.rot, state.ax, state.ay), axis=0)
     win_dn = extract_window(cfg, state.rows, state.ay + 1)
-    m_cur = piece_masks(state.piece, state.rot, state.ax)
+    m_cur = piece_masks(cfg, state.piece, state.rot, state.ax)
     c_soft = collide_window(cfg, win_dn, m_cur[None], state.ay + 1)[0]
     return ((~c4).sum(axis=0) + 2 * (~c_soft).astype(_I32)).astype(_I32)

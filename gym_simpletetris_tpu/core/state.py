@@ -49,7 +49,7 @@ class EnvState:
                        per-env draws in one vectorized call.
     """
 
-    rows: jnp.ndarray          # uint32[H, B]
+    rows: jnp.ndarray          # uint32[H, B] (width <= 24), else [H, NW, B]
     piece: jnp.ndarray         # int32[B] in [0, 7)
     rot: jnp.ndarray           # int32[B] in [0, 4)
     ax: jnp.ndarray            # int32[B]
@@ -66,7 +66,7 @@ class EnvState:
 
     @property
     def batch_size(self) -> int:
-        return self.rows.shape[1]
+        return self.rows.shape[-1]
 
 
 def init_state(config: EnvConfig, batch_size: int, key) -> EnvState:
@@ -78,8 +78,10 @@ def init_state(config: EnvConfig, batch_size: int, key) -> EnvState:
 
     b = batch_size
     i32 = jnp.int32
+    nw = config.num_words
+    rows_shape = (config.height, b) if nw == 1 else (config.height, nw, b)
     return EnvState(
-        rows=jnp.zeros((config.height, b), dtype=jnp.uint32),
+        rows=jnp.zeros(rows_shape, dtype=jnp.uint32),
         piece=jnp.zeros((b,), i32),
         rot=jnp.zeros((b,), i32),
         ax=jnp.zeros((b,), i32),

@@ -32,7 +32,7 @@ class HeuristicWeights:
 
 def _tile_state(state: EnvState, n: int) -> EnvState:
     """Repeat each env n times along the batch (batch-minor aware)."""
-    last = lambda x: jnp.tile(x, (1, n))
+    last = lambda x: jnp.tile(x, (1,) * (x.ndim - 1) + (n,))
     vec = lambda x: jnp.tile(x, (n,))
     return state.replace(
         rows=last(state.rows), piece=vec(state.piece), rot=vec(state.rot),

@@ -118,6 +118,97 @@ def rasterize_matmul(cells: jnp.ndarray, d0: int, d1: int, size: int) -> jnp.nda
     return img.astype(jnp.uint8).reshape(b, size, size)
 
 
+def rasterize_bcast(cells: jnp.ndarray, d0: int, d1: int, size: int) -> jnp.ndarray:
+    """cells: [B, d0, d1] (0/1) -> uint8 [B, size, size], pure elementwise.
+
+    The pixel grid is a regular tiling: each board cell owns a
+    (block+gap)x(block+gap) tile whose first ``block`` rows/cols are the cell
+    and the rest gap, the whole grid sits at offset pad+gap, and everything
+    else is the constant ``base`` map. That makes the raster expressible as
+    broadcast * tile-mask -> reshape -> pad -> affine — **no dot, no gather**,
+    so XLA fuses the entire chain (from packed board rows through to the
+    consumer) into one elementwise kernel. Unlike the matmul path there is no
+    materialized [B, size*size] f32 dot output, which is what capped the
+    image-observation HBM traffic (see BENCH_LOCAL.md round-2 sweep).
+    """
+    gap, block, inner0, inner1, pad0, pad1 = raster_geometry(d0, d1, size)
+    bg = block + gap
+    b = cells.shape[0]
+    # fold the shade delta (62) into the axis-0 tile mask so the expansion
+    # product directly yields the pixel delta — one fewer full-size multiply
+    m0 = jnp.asarray(np.where(np.arange(bg) < block,
+                              PIECE_SHADE - BACKGROUND_SHADE, 0).astype(np.uint8))
+    m1 = jnp.asarray((np.arange(bg) < block).astype(np.uint8))
+    x = cells.astype(jnp.uint8)
+    # X[b, i, u, j, v] = cells[b, i, j] * m0[u] * m1[v]
+    x = (x[:, :, None, :, None] * m0[None, None, :, None, None]
+         * m1[None, None, None, None, :])
+    x = x.reshape(b, d0 * bg, d1 * bg)
+    x = jnp.pad(x, ((0, 0),
+                    (pad0 + gap, size - pad0 - gap - d0 * bg),
+                    (pad1 + gap, size - pad1 - gap - d1 * bg)))
+    base, _ = build_raster_maps(d0, d1, size)
+    return jnp.asarray(base)[None] + x
+
+
+@lru_cache(maxsize=64)
+def _sep_operands(d0: int, d1: int, size: int):
+    """Separable raster operands, with the shade arithmetic folded in.
+
+    The whole image is separable: ``img[p,q] = 62*cellsexp[p,q] +
+    128*inb0[p]*inb1[q]`` (cell pixels add 62 on the 128 background; border
+    pixels — where either axis is outside the inner grid — are 0). Augmenting
+    the cell matrix with one constant row/column folds the background term
+    into the same two matmuls:
+
+      E1p[d1+1, size]: rows 0..d1-1 = 0/1 column expansion; row d1 = 128*inb1
+      E0p[size, d0+1]: cols 0..d0-1 = 62 * row expansion;   col d0 = inb0
+
+    so ``img = (E0p @ (cellsp @ E1p)).astype(uint8)`` exactly (all values are
+    integers <= 190, exact in bf16).
+    """
+    gap, block, inner0, inner1, pad0, pad1 = raster_geometry(d0, d1, size)
+    a0 = _axis_cells(d0, size, gap, block, inner0, pad0)
+    a1 = _axis_cells(d1, size, gap, block, inner1, pad1)
+    e1p = np.zeros((d1 + 1, size), np.float32)
+    e1p[:d1] = (a1[None, :] == np.arange(d1)[:, None])
+    e1p[d1] = BACKGROUND_SHADE * (a1 != -2)
+    e0p = np.zeros((size, d0 + 1), np.float32)
+    e0p[:, :d0] = (PIECE_SHADE - BACKGROUND_SHADE) * \
+        (a0[:, None] == np.arange(d0)[None, :])
+    e0p[:, d0] = (a0 != -2)
+    return e0p, e1p
+
+
+def rasterize_sep(cells: jnp.ndarray, d0: int, d1: int, size: int) -> jnp.ndarray:
+    """cells: [B, d0, d1] (0/1) -> uint8 [B, size, size], separable MXU path.
+
+    The pixel->cell map factorizes per axis, so the block expansion is two
+    rank-reducing matmuls over tiny constant operands (``_sep_operands``) that
+    also carry the shade arithmetic — the fastest measured image path on v5e:
+    the expansion rides the MXU and the VPU does exactly one fused pass
+    (bf16->u8 convert + consumer). Unlike the single big matmul
+    (``rasterize_matmul``: a [d0*d1, size*size] operand and an f32 dot output)
+    nothing large is read per step. Exact: all pixel values are integers
+    <= 190, exact in bf16.
+    """
+    e0p, e1p = _sep_operands(d0, d1, size)
+    b = cells.shape[0]
+    c = cells.astype(jnp.bfloat16)
+    cp = jnp.concatenate([
+        jnp.concatenate([c, jnp.zeros((b, d0, 1), jnp.bfloat16)], axis=2),
+        jnp.broadcast_to(
+            jnp.concatenate([jnp.zeros((d1,), jnp.bfloat16),
+                             jnp.ones((1,), jnp.bfloat16)])[None, None, :],
+            (b, 1, d1 + 1)),
+    ], axis=1)                                               # [B, d0+1, d1+1]
+    t = jnp.einsum("bhw,wq->bhq", cp, jnp.asarray(e1p, jnp.bfloat16),
+                   preferred_element_type=jnp.bfloat16)      # [B, d0+1, size]
+    u = jnp.einsum("ph,bhq->bpq", jnp.asarray(e0p, jnp.bfloat16), t,
+                   preferred_element_type=jnp.bfloat16)      # [B, size, size]
+    return u.astype(jnp.uint8)
+
+
 def rasterize_gather(cells: jnp.ndarray, d0: int, d1: int, size: int) -> jnp.ndarray:
     """cells: [B, d0, d1] -> uint8 [B, size, size] via one static-index gather."""
     base, cell = build_raster_maps(d0, d1, size)
@@ -139,6 +230,10 @@ def rasterize(cells: jnp.ndarray, d0: int, d1: int, size: int,
         return rasterize_matmul(cells, d0, d1, size)
     if impl == "gather":
         return rasterize_gather(cells, d0, d1, size)
+    if impl == "bcast":
+        return rasterize_bcast(cells, d0, d1, size)
+    if impl == "sep":
+        return rasterize_sep(cells, d0, d1, size)
     raise ValueError(f"unknown raster impl {impl!r}")
 
 

@@ -54,17 +54,19 @@ def make_data_mesh(devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), (DATA_AXIS,))
 
 
-def state_sharding(mesh: Mesh) -> EnvState:
+def state_sharding(mesh: Mesh, cfg: EnvConfig = None) -> EnvState:
     """NamedSharding pytree matching EnvState's batch-minor layout: batch is the
-    last axis of rows/shape_counts, the only axis of per-env scalars; the engine
-    key is replicated."""
+    last axis of rows/shape_counts (rows carry a word axis for wide boards),
+    the only axis of per-env scalars; the engine key is replicated."""
     def ns(spec):
         return NamedSharding(mesh, spec)
+    nw = 1 if cfg is None else cfg.num_words
+    rows_spec = ns(P(None, DATA_AXIS) if nw == 1 else P(None, None, DATA_AXIS))
     batch_last = ns(P(None, DATA_AXIS))
     vec = ns(P(DATA_AXIS))
     rep = ns(P())
     return EnvState(
-        rows=batch_last, piece=vec, rot=vec, ax=vec, ay=vec, lock=vec,
+        rows=rows_spec, piece=vec, rot=vec, ax=vec, ay=vec, lock=vec,
         time=vec, score=vec, holes=vec, lines_cleared=vec, piece_height=vec,
         deaths=vec, shape_counts=batch_last, key=rep)
 
@@ -95,7 +97,7 @@ class ShardedTetrisEnv:
             raise ValueError(f"global_batch {global_batch} % mesh size {n} != 0")
         self.global_batch = global_batch
         cfg = config
-        sh_state = state_sharding(self.mesh)
+        sh_state = state_sharding(self.mesh, cfg)
         sh_obs = obs_sharding(self.mesh, cfg)
         sh_vec = NamedSharding(self.mesh, P(DATA_AXIS))
 
@@ -157,9 +159,11 @@ def shard_map_step(cfg: EnvConfig, mesh: Mesh):
         return obs, st, out.reward, out.done, finished
 
     batch_last = P(None, DATA_AXIS)
+    rows_spec = (batch_last if cfg.num_words == 1
+                 else P(None, None, DATA_AXIS))
     vec = P(DATA_AXIS)
     state_spec = EnvState(
-        rows=batch_last, piece=vec, rot=vec, ax=vec, ay=vec, lock=vec,
+        rows=rows_spec, piece=vec, rot=vec, ax=vec, ay=vec, lock=vec,
         time=vec, score=vec, holes=vec, lines_cleared=vec, piece_height=vec,
         deaths=vec, shape_counts=batch_last, key=P())
     return shard_map(

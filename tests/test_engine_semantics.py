@@ -18,7 +18,7 @@ CFG = EnvConfig()
 
 def _collide_single(cfg, board_wh, piece, rot, ax, ay):
     rows = jnp.asarray(pack_board(cfg, board_wh))[:, None]       # [H, 1]
-    masks = E.piece_masks(jnp.array([piece]), jnp.array([rot]), jnp.array([ax]))
+    masks = E.piece_masks(cfg, jnp.array([piece]), jnp.array([rot]), jnp.array([ax]))
     coll = E.collide_profile(cfg, E.pad_rows(rows), masks)       # [H+1, 1]
     return bool(coll[ay, 0])
 
@@ -77,7 +77,7 @@ def test_hard_drop_equals_iterated_soft_drop():
         while not _brute_collide(cfg, board, offs, ax, y + 1):
             y += 1
         rows = jnp.asarray(pack_board(cfg, board))[:, None]
-        masks = E.piece_masks(jnp.array([p]), jnp.array([r]), jnp.array([ax]))
+        masks = E.piece_masks(cfg, jnp.array([p]), jnp.array([r]), jnp.array([ax]))
         coll = E.collide_profile(cfg, E.pad_rows(rows), masks)   # [H+1, 1]
         idxs = jnp.arange(cfg.height + 1)[:, None]
         blocked = jnp.where((idxs > ay) & coll, idxs, cfg.height + 2)
@@ -216,9 +216,18 @@ def test_batch_independence():
 
 def test_config_validation():
     with pytest.raises(ValueError):
-        EnvConfig(width=30)
+        EnvConfig(width=1)
+    with pytest.raises(ValueError):
+        EnvConfig(width=2000)
     with pytest.raises(ValueError):
         EnvConfig(obs_type="nope")
+    # wide boards use multi-word rows; the pallas kernels cover 1-word only
+    with pytest.raises(ValueError):
+        EnvConfig(width=30, step_impl="pallas")
+    assert EnvConfig(width=24).num_words == 1
+    assert EnvConfig(width=30).num_words == 2
+    assert EnvConfig(width=56).num_words == 2
+    assert EnvConfig(width=57).num_words == 3
 
 
 def test_tall_board_h64():
