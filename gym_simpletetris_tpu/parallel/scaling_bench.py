@@ -50,6 +50,39 @@ def bench_mesh(cfg: EnvConfig, n_devices: int, per_device: int, steps: int,
     }
 
 
+def bench_train_mesh(ecfg: EnvConfig, n_devices: int, per_device: int,
+                     steps: int, chunk: int) -> dict:
+    """Weak-scaling of the FULL actor-learner: mesh-aware ``make_train``
+    (env step + obs + replay insert + TD learner + target sync), env batch
+    fixed per device."""
+    from ..train.dqn import DQNConfig, make_train
+    from .mesh import make_data_mesh
+
+    devices = jax.devices()[:n_devices]
+    mesh = make_data_mesh(devices)
+    B = per_device * n_devices
+    cfg = DQNConfig(env=ecfg, num_envs=B, buffer_capacity=B * 16,
+                    learn_batch=max(64, B // 4), learn_starts=B * 2)
+    init_fn, _, chunk_fn, _ = make_train(cfg, mesh=mesh)
+    state = init_fn(jax.random.PRNGKey(0))
+    state, m = chunk_fn(state, chunk)                     # warmup/compile
+    np.asarray(m["mean_q"])
+    n_chunks = max(1, steps // chunk)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, m = chunk_fn(state, chunk)
+    np.asarray(m["mean_q"])
+    dt = time.perf_counter() - t0
+    total = n_chunks * chunk * B
+    return {
+        "devices": n_devices, "global_batch": B, "mode": "actor_learner",
+        "env_steps_per_sec": round(total / dt, 1),
+        "per_device_steps_per_sec": round(total / dt / n_devices, 1),
+        "learn_steps": int(np.asarray(state.learn_steps)),
+        "wall_s": round(dt, 3),
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--obs", default="ram", choices=["ram", "grayscale", "rgb"])
@@ -58,9 +91,13 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=128)
     p.add_argument("--device-counts", default=None,
                    help="comma list, default 1,2,4,...,N")
+    p.add_argument("--train", action="store_true",
+                   help="weak-scale the full DQN actor-learner instead of "
+                        "the bare env rollout")
     args = p.parse_args(argv)
 
-    cfg = EnvConfig(obs_type=args.obs, auto_reset=True)
+    cfg = EnvConfig(obs_type=args.obs, auto_reset=True,
+                    reward_step=args.train)
     n = len(jax.devices())
     if args.device_counts:
         counts = [int(c) for c in args.device_counts.split(",")]
@@ -68,7 +105,11 @@ def main(argv=None):
         counts = [c for c in (1, 2, 4, 8, 16, 32, 64) if c <= n]
     results = []
     for c in counts:
-        r = bench_mesh(cfg, c, args.per_device, args.steps, args.chunk)
+        if args.train:
+            r = bench_train_mesh(cfg, c, args.per_device, args.steps,
+                                 args.chunk)
+        else:
+            r = bench_mesh(cfg, c, args.per_device, args.steps, args.chunk)
         results.append(r)
         print(json.dumps(r), flush=True)
     if len(results) > 1:

@@ -59,11 +59,6 @@ class DQNConfig:
     def __post_init__(self):
         if self.buffer_capacity % self.num_envs:
             raise ValueError("buffer_capacity must be a multiple of num_envs")
-        if self.prioritized and self.learn_starts < self.learn_batch:
-            raise ValueError(
-                "prioritized=True requires learn_starts >= learn_batch: "
-                "Gumbel-top-k sampling must draw from >= learn_batch filled "
-                "rows (unfilled rows are zero-weighted but still waste batch)")
 
 
 @struct.dataclass
@@ -81,12 +76,22 @@ class DQNState:
                               # dict of [n-1, B, ...] arrays
 
 
-def make_train(cfg: DQNConfig):
+def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
     """Returns (init_fn, train_step_fn, train_chunk_fn, network).
 
     init_fn(key) -> DQNState
     train_step_fn(state) -> (state, metrics)          # one actor+learner step
     train_chunk_fn(state, n) -> (state, metrics_mean) # n steps under lax.scan
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a ``data`` axis and optionally
+    a ``model_axis``), the returned functions are jit-compiled against the
+    path-assigned DQNState sharding (train/sharding.py): ``init_fn``
+    *constructs* the state sharded (``out_shardings`` — born on the mesh, no
+    resharding pass), and the step/chunk functions pin matching in/out
+    shardings with state donation. Env batch, replay ring and learner batch
+    shard along ``data``; dense/conv kernels shard their output axis along
+    ``model_axis`` when present (DP + TP). Without ``mesh`` the functions are
+    returned unjitted, exactly as before.
     """
     from ..api import spaces
 
@@ -292,7 +297,32 @@ def make_train(cfg: DQNConfig):
         state, ms = jax.lax.scan(body, state, None, length=n)
         return state, jax.tree.map(lambda x: x.mean(axis=0), ms)
 
-    return init_fn, train_step_fn, train_chunk_fn, network
+    if mesh is None:
+        return init_fn, train_step_fn, train_chunk_fn, network
+
+    # ---- mesh-aware compilation: state born sharded, steps pinned ----------
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .sharding import dqn_state_sharding
+
+    abstract = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    sh = dqn_state_sharding(cfg, mesh, abstract, model_axis=model_axis)
+    rep = NamedSharding(mesh, P())
+
+    init_sharded = jax.jit(init_fn, out_shardings=sh)
+    step_sharded = jax.jit(train_step_fn, in_shardings=(sh,),
+                           out_shardings=(sh, rep), donate_argnums=(0,))
+
+    _chunk_cache = {}
+
+    def chunk_sharded(state, n: int):
+        fn = _chunk_cache.get(n)
+        if fn is None:
+            fn = jax.jit(partial(train_chunk_fn, n=n), in_shardings=(sh,),
+                         out_shardings=(sh, rep), donate_argnums=(0,))
+            _chunk_cache[n] = fn
+        return fn(state)
+
+    return init_sharded, step_sharded, chunk_sharded, network
 
 
 def train(cfg: DQNConfig, total_steps: int, key=None, chunk: int = 128,

@@ -116,3 +116,98 @@ def test_two_process_sharded_rollout_bitwise(tmp_path):
     fs, acc, rew, done = senv.rollout(state, acts)
     np.testing.assert_array_equal(global_rew, np.asarray(rew))
     assert float(np.asarray(rew).sum()) == meta0[1]
+
+
+LEARNER_WORKER = r"""
+import os, sys
+pid, nproc, port, outdir = (sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, %(repo)r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from gym_simpletetris_tpu.parallel.mesh import init_distributed, DATA_AXIS
+init_distributed(f"localhost:{port}", int(nproc), int(pid))
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+from gym_simpletetris_tpu import EnvConfig
+from gym_simpletetris_tpu.train.dqn import DQNConfig, make_train
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), (DATA_AXIS, "model"))
+cfg = DQNConfig(
+    env=EnvConfig(obs_type="ram", auto_reset=True, reward_step=True,
+                  width=6, height=8),
+    num_envs=16, buffer_capacity=256, learn_batch=16, learn_starts=32,
+    target_update_period=5)
+init_fn, step_fn, _, _ = make_train(cfg, mesh=mesh)
+state = init_fn(jax.random.PRNGKey(7))
+for _ in range(40):
+    state, metrics = step_fn(state)
+# fully-addressable (replicated across the mesh) learner params: dump leaves
+leaves = jax.tree_util.tree_leaves_with_path(state.params)
+flat = np.concatenate(
+    [np.asarray(jax.jit(lambda x: x,
+                        out_shardings=jax.sharding.NamedSharding(
+                            mesh, jax.sharding.PartitionSpec()))(l)).ravel()
+     for _, l in leaves])
+np.save(f"{outdir}/params_{pid}.npy", flat)
+np.save(f"{outdir}/lsteps_{pid}.npy",
+        np.array([int(state.learn_steps),
+                  float(np.asarray(metrics["loss"]))]))
+print(f"learner worker {pid} ok", flush=True)
+""" % {"repo": REPO}
+
+
+def test_two_process_dqn_train_step(tmp_path):
+    """The full actor-learner (BASELINE config 5 shape): 2 controller
+    processes x 4 fake devices run 40 mesh-aware DQN train steps (DP x TP via
+    make_train(cfg, mesh=...)); both controllers' final params must agree with
+    each other and with a single-process run of the identical program."""
+    port = _free_port()
+    script = tmp_path / "learner_worker.py"
+    script.write_text(LEARNER_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), "2", str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=360)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"learner worker {pid} failed:\n{out[-3000:]}"
+
+    p0 = np.load(tmp_path / "params_0.npy")
+    p1 = np.load(tmp_path / "params_1.npy")
+    np.testing.assert_array_equal(p0, p1)   # controllers agree bitwise
+    ls0 = np.load(tmp_path / "lsteps_0.npy")
+    assert ls0[0] > 0 and np.isfinite(ls0[1])
+
+    # single-process golden of the identical program
+    import jax
+    from jax.sharding import Mesh
+    from gym_simpletetris_tpu import EnvConfig
+    from gym_simpletetris_tpu.parallel.mesh import DATA_AXIS
+    from gym_simpletetris_tpu.train.dqn import DQNConfig, make_train
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), (DATA_AXIS, "model"))
+    cfg = DQNConfig(
+        env=EnvConfig(obs_type="ram", auto_reset=True, reward_step=True,
+                      width=6, height=8),
+        num_envs=16, buffer_capacity=256, learn_batch=16, learn_starts=32,
+        target_update_period=5)
+    init_fn, step_fn, _, _ = make_train(cfg, mesh=mesh)
+    state = init_fn(jax.random.PRNGKey(7))
+    for _ in range(40):
+        state, metrics = step_fn(state)
+    golden = np.concatenate(
+        [np.asarray(l).ravel() for _, l in
+         jax.tree_util.tree_leaves_with_path(state.params)])
+    np.testing.assert_allclose(p0, golden, rtol=1e-5, atol=1e-7)

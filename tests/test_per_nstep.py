@@ -20,24 +20,51 @@ def test_prioritized_sampling_concentrates_on_high_priority():
         obs = jnp.full((8, 2), i, jnp.float32)
         rs = replay_insert(rs, obs, obs, jnp.zeros(8, jnp.int32),
                            jnp.zeros(8), jnp.zeros(8, bool), gamma=0.99)
-    # give rows 0..7 priority 100, the rest 1
-    prio = jnp.ones(64).at[:8].set(100.0)
+    # give slot row 0 (flat transitions 0..7, the first insert) priority 100
+    prio = jnp.ones((8, 8)).at[0, :].set(100.0)
     rs = rs.replace(priority=prio)
     counts = np.zeros(64)
-    for s in range(40):
+    for s in range(60):
         _, idx, w = replay_sample_prioritized(rs, jax.random.PRNGKey(s), 16,
                                               beta=0.5)
-        idx = np.asarray(idx)
-        assert len(set(idx.tolist())) == 16       # without replacement
-        counts[idx] += 1
-    # expected ratio ~100:1 per row; allow slack for without-replacement
-    assert counts[:8].mean() > 5 * counts[8:].mean()
-    # importance weights: low-probability rows get larger weights
+        counts += np.bincount(np.asarray(idx), minlength=64)
+    # exact with-replacement marginals: P(hot) = 100/856 each; empirical
+    # frequency should match within sampling noise (960 draws)
+    ratio = counts[:8].mean() / max(counts[8:].mean(), 1e-9)
+    assert 50 < ratio, ratio
+    # importance weights: low-probability rows get larger weights; beta=1
+    # weights satisfy w(i) ∝ 1/P(i) exactly, normalized by the buffer max
     _, idx, w = replay_sample_prioritized(rs, jax.random.PRNGKey(99), 64,
                                           beta=1.0)
-    w = np.asarray(w)[np.argsort(np.asarray(idx))]
-    assert w[8:].min() > w[:8].max()  # rare rows upweighted
-    assert w.max() == pytest.approx(1.0)
+    idx, w = np.asarray(idx), np.asarray(w)
+    hot = idx < 8
+    if hot.any() and (~hot).any():
+        assert w[~hot].min() > w[hot].max()      # rare rows upweighted
+        np.testing.assert_allclose(w[~hot], 1.0, rtol=1e-5)  # min-prio rows
+        np.testing.assert_allclose(w[hot], 1.0 / 100.0, rtol=1e-5)
+    assert w.max() <= 1.0 + 1e-6
+
+
+def test_prioritized_marginals_exact():
+    """Empirical sampling frequency matches P(i) = p_i / sum p (chi-square
+    sanity over 16k draws on a 32-row buffer with a skewed profile)."""
+    rs = replay_init(32, (1,), insert_width=32)
+    rs = replay_insert(rs, jnp.ones((32, 1)), jnp.ones((32, 1)),
+                       jnp.zeros(32, jnp.int32), jnp.zeros(32),
+                       jnp.zeros(32, bool), gamma=0.99)
+    p = jnp.asarray(np.linspace(0.1, 5.0, 32), jnp.float32)
+    rs = rs.replace(priority=p.reshape(1, 32))
+    counts = np.zeros(32)
+    draws = 0
+    for s in range(32):
+        _, idx, _ = replay_sample_prioritized(rs, jax.random.PRNGKey(s), 512,
+                                              beta=0.0)
+        counts += np.bincount(np.asarray(idx), minlength=32)
+        draws += 512
+    expect = np.asarray(p) / np.asarray(p).sum() * draws
+    chi2 = ((counts - expect) ** 2 / expect).sum()
+    # 31 dof: mean 31, std ~7.9; 80 is ~6 sigma
+    assert chi2 < 80, (chi2, counts, expect)
 
 
 def test_prioritized_warmup_zero_weights_unfilled_rows():
@@ -50,13 +77,12 @@ def test_prioritized_warmup_zero_weights_unfilled_rows():
     _, idx, w = replay_sample_prioritized(rs, jax.random.PRNGKey(0), 32,
                                           beta=1.0)
     idx, w = np.asarray(idx), np.asarray(w)
-    filled = idx < 8
+    filled = idx < 8          # slot-major ring: one insert = flat rows 0..7
+    # with-replacement inverse-CDF never lands on zero-probability slots
+    # (except float round-off at CDF edges, which would be zero-weighted)
     assert (w[~filled] == 0.0).all()
+    assert filled.sum() >= 30
     assert w[filled].max() == pytest.approx(1.0)
-    # DQNConfig refuses the degenerate configuration outright
-    with pytest.raises(ValueError):
-        DQNConfig(num_envs=16, buffer_capacity=2048, learn_batch=128,
-                  learn_starts=64, prioritized=True)
 
 
 def test_priority_update_writes_alpha_power():
@@ -68,7 +94,7 @@ def test_priority_update_writes_alpha_power():
     idx = jnp.array([0, 5, 9])
     rs2 = replay_update_priority(rs, idx, jnp.array([1.0, -3.0, 0.0]),
                                  alpha=0.5, eps=0.0)
-    p = np.asarray(rs2.priority)
+    p = np.asarray(rs2.priority).reshape(-1)
     np.testing.assert_allclose(p[[0, 5, 9]], [1.0, 3.0 ** 0.5, 0.0],
                                rtol=1e-6)
     assert float(rs2.max_p) == pytest.approx(3.0 ** 0.5)
@@ -98,15 +124,15 @@ def test_nstep_returns_match_manual_fold():
     step_jit = jax.jit(step_fn)
 
     # replay the same env stream manually: pull rewards/dones out of the
-    # replay's raw ring (insert width 8 => row block t*8..t*8+8 is step t's
-    # matured transition, i.e. actor step t-(n-1) .. t)
+    # replay's raw ring (slot-major [S, B]: row t is step t's matured
+    # transition, i.e. actor step t-(n-1) .. t)
     T = 60
     for _ in range(T):
         state, _ = step_jit(state)
     rs = state.replay
-    rew = np.asarray(rs.reward[: T * 8]).reshape(T, 8)
-    disc = np.asarray(rs.discount[: T * 8]).reshape(T, 8)
-    done = np.asarray(rs.done[: T * 8]).reshape(T, 8)
+    rew = np.asarray(rs.reward[:T])            # [T, 8]: row t = step t
+    disc = np.asarray(rs.discount[:T])
+    done = np.asarray(rs.done[:T])
     gamma = cfg.gamma
 
     # reconstruct the per-step 1-step rewards from the window fold inverse is
@@ -143,7 +169,8 @@ def test_per_nstep_training_smoke():
     assert np.isfinite(metrics["loss"]) and np.isfinite(metrics["mean_q"])
     assert int(state.learn_steps) > 0
     # priorities have been written (not all equal to the init max)
-    p = np.asarray(state.replay.priority[: int(state.replay.filled)])
+    p = np.asarray(
+        state.replay.priority[: int(state.replay.filled_slots)])
     assert len(np.unique(p)) > 1
 
 
@@ -159,10 +186,11 @@ def test_all_features_combined_smoke():
         per_beta_steps=50)
     state, metrics = _run_steps(cfg, 16)
     assert state.obs.shape == (8, 84, 84, 2)          # stacked channels
-    assert state.replay.obs.shape == (512, 84, 84, 2)
+    assert state.replay.obs.shape == (64, 8, 84 * 84 * 2)  # flattened
     assert np.isfinite(metrics["loss"]) and np.isfinite(metrics["mean_q"])
     assert int(state.learn_steps) > 0
-    d = np.unique(state.replay.discount[: int(state.replay.filled)])
+    d = np.unique(
+        state.replay.discount[: int(state.replay.filled_slots)])
     assert set(np.round(d.astype(np.float64), 5)) <= \
         {0.0, round(cfg.gamma ** 2, 5)}
 
@@ -173,6 +201,7 @@ def test_nstep_equals_onestep_when_n_is_one():
                      num_envs=8, buffer_capacity=512, learn_batch=16,
                      learn_starts=32, n_step=1)
     state, metrics = _run_steps(cfg1, 20)
-    d = np.asarray(state.replay.discount[: int(state.replay.filled)])
-    done = np.asarray(state.replay.done[: int(state.replay.filled)])
+    fs = int(state.replay.filled_slots)
+    d = np.asarray(state.replay.discount[:fs])
+    done = np.asarray(state.replay.done[:fs])
     np.testing.assert_allclose(d, cfg1.gamma * (1.0 - done), rtol=1e-6)

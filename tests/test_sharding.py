@@ -109,3 +109,66 @@ def test_collective_bench_runs(mesh):
     assert ops == {"psum", "all_gather_sum", "ppermute"}
     for r in out["results"]:
         assert r["seconds"] > 0
+
+
+def test_make_train_mesh_aware_matches_unsharded(mesh):
+    """make_train(cfg, mesh=...) — the public distributed-training API — must
+    (a) construct the DQNState born sharded per the path-assigned rules
+    (params TP'd on the model axis, replay/env batch on data), and
+    (b) produce the same training trajectory as the unsharded make_train
+    (bitwise for integer env state; float params to reduction-order tol)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from gym_simpletetris_tpu.train.dqn import DQNConfig, make_train
+
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh2 = Mesh(devs, ("data", "model"))
+    cfg = DQNConfig(
+        env=EnvConfig(obs_type="ram", auto_reset=True, reward_step=True,
+                      width=6, height=8),
+        num_envs=16, buffer_capacity=256, learn_batch=16, learn_starts=32,
+        target_update_period=5)
+
+    init_u, step_u, _, _ = make_train(cfg)
+    init_s, step_s, chunk_s, _ = make_train(cfg, mesh=mesh2)
+
+    su = init_u(jax.random.PRNGKey(7))
+    ss = init_s(jax.random.PRNGKey(7))
+
+    # born sharded: check a few load-bearing leaves
+    def spec_of(x):
+        return x.sharding.spec
+    assert spec_of(ss.replay.obs) == P(None, "data")
+    assert spec_of(ss.obs) == P("data")
+    assert spec_of(ss.env_state.rows) == P(None, "data")
+    # the dense kernels are TP'd over model (last dim divides 2)
+    kernels = [l for p, l in jax.tree_util.tree_leaves_with_path(ss.params)
+               if "kernel" in jax.tree_util.keystr(p)]
+    assert any(l.sharding.spec == P(*((None,) * (l.ndim - 1) + ("model",)))
+               for l in kernels)
+    # Adam mirrors in opt_state carry the same TP rule
+    opt_kernels = [l for p, l in
+                   jax.tree_util.tree_leaves_with_path(ss.opt_state)
+                   if "kernel" in jax.tree_util.keystr(p)
+                   and getattr(l, "ndim", 0) >= 2]
+    assert any(l.sharding.spec == P(*((None,) * (l.ndim - 1) + ("model",)))
+               for l in opt_kernels)
+
+    # same trajectory: run 40 steps on both
+    step_uj = jax.jit(step_u)
+    for _ in range(40):
+        su, mu = step_uj(su)
+        ss, ms = step_s(ss)
+    np.testing.assert_array_equal(np.asarray(su.env_state.rows),
+                                  np.asarray(ss.env_state.rows))
+    np.testing.assert_array_equal(np.asarray(su.replay.done),
+                                  np.asarray(ss.replay.done))
+    assert int(su.learn_steps) == int(ss.learn_steps) > 0
+    for (pu, lu), (ps, ls) in zip(
+            jax.tree_util.tree_leaves_with_path(su.params),
+            jax.tree_util.tree_leaves_with_path(ss.params)):
+        np.testing.assert_allclose(np.asarray(lu), np.asarray(ls),
+                                   rtol=2e-4, atol=2e-6,
+                                   err_msg=jax.tree_util.keystr(pu))
+    # chunked variant also runs sharded
+    ss, m = chunk_s(ss, 4)
+    assert np.isfinite(float(np.asarray(m["loss"])))

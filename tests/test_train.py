@@ -19,7 +19,7 @@ def test_replay_ring_semantics():
         rs = replay_insert(rs, obs, obs + 100, jnp.full((4,), i, jnp.int32),
                            jnp.full((4,), float(i)), jnp.zeros((4,), bool), gamma=0.99)
     assert int(rs.filled) == 16
-    assert int(rs.ptr) == (6 * 4) % 16
+    assert int(rs.ptr) == 6 % 4   # slot-column pointer
     # ring: slots hold the last 4 inserts (2,3,4,5), oldest overwritten
     vals = set(np.unique(np.asarray(rs.obs)).tolist())
     assert vals == {2, 3, 4, 5}
@@ -115,5 +115,5 @@ def test_dqn_frame_stack():
     prev_newest = state.obs[..., 3]
     state, metrics = jax.jit(lambda s: chunk_fn(s, 3))(state)
     assert state.obs.shape == (4, 84, 84, 4)
-    assert state.replay.obs.shape == (64, 84, 84, 4)
+    assert state.replay.obs.shape == (16, 4, 84 * 84 * 4)  # flattened
     assert np.isfinite(float(metrics["mean_q"]))
