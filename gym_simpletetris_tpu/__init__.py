@@ -27,17 +27,22 @@ from .core.state import EnvState, init_state
 from .core.pieces import PIECE_NAMES
 from .api.env import TetrisVectorEnv, step_fn, reset_fn, build_observation
 from .api.gym_compat import TetrisEnv
-from .api.registry import make, register, register_gymnasium
+from .api.registry import make, register, register_gym, register_gymnasium
 
 __version__ = "0.1.0"
 
 __all__ = [
     "EnvConfig", "EnvState", "init_state", "PIECE_NAMES",
     "TetrisVectorEnv", "TetrisEnv", "step_fn", "reset_fn",
-    "build_observation", "make", "register", "register_gymnasium",
+    "build_observation", "make", "register", "register_gym",
+    "register_gymnasium",
     "NativeTetrisEnv", "NativeVectorEnv", "NativeTetrisEngine",
     "__version__",
 ]
+
+# Mirror the reference's import-time legacy-gym registration
+# (gym_simpletetris/__init__.py:3-6); a no-op when old gym isn't importable.
+register_gym()
 
 
 def __getattr__(name):

@@ -194,6 +194,42 @@ class TetrisEnv:
             "statistics": {n: int(c) for n, c in zip(PIECE_NAMES, counts)},
         }
 
+    def seed(self, seed: int) -> None:
+        """Reseed the env RNG in place (fresh-engine semantics: the next
+        ``reset()`` behaves like a newly constructed env with this seed).
+        Does NOT rebuild the env, so jitted executables are reused — no
+        recompilation (the reference has no seeding API at all; callers had
+        to use ``random.seed()``, tetris_env.py:2,187)."""
+        self._key = jax.random.PRNGKey(seed)
+        self._state = None
+
+    def _observation(self, mode=None, state=None, extend_dims=None):
+        """Observation conversion hook, mirroring the reference's de-facto
+        "render the board as a different obs type" API
+        (``TetrisEnv._observation``, tetris_env.py:413-433): ``state`` is a
+        (W, H) board (defaults to the live board with the active piece burned
+        in, like ``engine.render()``); ``mode``/``extend_dims`` default to the
+        env's own. Returns the raw converted array (float board for ram,
+        uint8 {0,128,190} image for grayscale/rgb) exactly like the
+        reference — the float32 cast there happens in step/reset, not here.
+        """
+        from ..ops.raster import rasterize_host
+        obs = state
+        if obs is None:
+            obs = self._board().astype(float)
+        obs = np.asarray(obs)
+        new_mode = self.obs_type if mode is None else mode
+        if new_mode == "ram":
+            extend = self.extend_dims if extend_dims is None else extend_dims
+            return (np.reshape(obs, (self.width, self.height, 1))
+                    if extend else obs)
+        img = rasterize_host((obs != 0).astype(np.uint8).T,
+                             self.height, self.width, 84)
+        if new_mode == "grayscale":
+            extend = self.extend_dims if extend_dims is None else extend_dims
+            return np.reshape(img, (84, 84, 1)) if extend else img
+        return np.repeat(img[..., None], 3, axis=-1)
+
     @property
     def engine(self):
         """Read-only view with the reference TetrisEngine's public attribute

@@ -94,8 +94,11 @@ class _JaxVectorCore:
         from .env import (TetrisVectorEnv, _select_done, apply_reset_mask,
                           build_observation, make_info)
 
-        cfg = EnvConfig(**kwargs)          # auto_reset stays False: the
-        assert not cfg.auto_reset          # adapter owns reset timing
+        cfg = EnvConfig(**kwargs)
+        if cfg.auto_reset:                 # the adapter owns reset timing
+            raise ValueError(
+                "auto_reset is owned by the gymnasium vector adapter "
+                "(next-step autoreset); do not pass auto_reset=True")
         self._jax, self._jnp = jax, jnp
         self._env = TetrisVectorEnv(cfg, batch_size=num_envs)
         self._seed = seed

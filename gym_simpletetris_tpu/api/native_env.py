@@ -260,7 +260,9 @@ class NativeVectorEnv:
         r0 = np.empty(n, np.int32)
         boards = np.empty((n, self.width, self.height), np.uint8)
         rc = self._lib.tetris_clear_vec(self._handles, n, r0, boards)
-        assert rc == 0, "mixed board geometries in one batch"
+        if rc != 0:
+            raise RuntimeError(
+                "tetris_clear_vec failed: mixed board geometries in one batch")
         return self._observation(boards)
 
     def step(self, actions):
@@ -275,7 +277,9 @@ class NativeVectorEnv:
         rc = self._lib.tetris_step_vec(self._handles, n, actions,
                                        int(self.auto_reset), self.threads,
                                        boards, rewards, dones, r_step, r_clear)
-        assert rc == 0, "mixed board geometries in one batch"
+        if rc != 0:
+            raise RuntimeError(
+                "tetris_step_vec failed: mixed board geometries in one batch")
         if self.auto_reset:
             boards[dones != 0] = 0      # reset observation = empty board
         info = self.infos() if self.with_info else {}

@@ -64,8 +64,9 @@ def make_gymnasium_env(render_mode=None, **kwargs):
 
         def reset(self, *, seed=None, options=None):
             if seed is not None:
-                from .gym_compat import TetrisEnv
-                self._env = TetrisEnv(**{**self._kw, "seed": seed})
+                # reseed in place: fresh-engine semantics without rebuilding
+                # the env (rebuilding would retrace every jitted closure)
+                self._env.seed(seed)
             obs, info = self._env.reset(return_info=True)
             return obs, info
 
@@ -98,3 +99,20 @@ def register_gymnasium(env_id: str = "SimpleTetris-v0"):
     gymnasium.register(
         id=env_id,
         entry_point="gym_simpletetris_tpu.api.registry:make_gymnasium_env")
+
+
+def register_gym(env_id: str = "SimpleTetris-v0") -> bool:
+    """Register with *legacy* gym when importable, mirroring the reference's
+    only integration point (``gym.register(id='SimpleTetris-v0', ...)``,
+    gym_simpletetris/__init__.py:3-6) so ``gym.make("SimpleTetris-v0")``
+    under old gym resolves to the TPU-backed shim. Returns True iff
+    registered. Old gym is bit-rotted on modern numpy, so failures are
+    swallowed (the package must import fine without gym)."""
+    try:
+        import gym
+        gym.register(
+            id=env_id,
+            entry_point="gym_simpletetris_tpu.api.gym_compat:TetrisEnv")
+        return True
+    except Exception:
+        return False

@@ -55,7 +55,9 @@ class Box(Space):
 
     def contains(self, x) -> bool:
         x = np.asarray(x)
-        return x.shape == self.shape
+        return (x.shape == self.shape
+                and bool(np.all(x >= self.low))
+                and bool(np.all(x <= self.high)))
 
     def __repr__(self):
         return f"Box({self.low}, {self.high}, {self.shape}, {self.dtype})"

@@ -10,7 +10,7 @@
 - a **fast host CPU env** (``api/native_env.py``) — same API surface as the
   reference at ~100x its throughput.
 
-The shared library is compiled lazily with ``g++ -O2`` into the package
+The shared library is compiled lazily with ``g++ -O3`` into the package
 directory (gitignored) and rebuilt whenever ``oracle.cc`` is newer. Bindings
 use ctypes (no pybind11 in this image — see CLAUDE.md environment notes).
 """

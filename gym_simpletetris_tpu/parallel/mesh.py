@@ -173,8 +173,7 @@ def shard_map_step(cfg: EnvConfig, mesh: Mesh):
         check_vma=False)
 
 
-@jax.jit
-def _aggregate_metrics(s: EnvState):
+def _aggregate_metrics_fn(s: EnvState):
     return {
         "total_deaths": s.deaths.sum(),
         "total_lines": s.lines_cleared.sum(),
@@ -184,7 +183,20 @@ def _aggregate_metrics(s: EnvState):
     }
 
 
+_aggregate_metrics = jax.jit(_aggregate_metrics_fn)
+_aggregate_by_mesh = {}
+
+
 def global_metrics(state: EnvState, mesh: Mesh = None) -> dict:
-    """Cross-host/chip aggregate episode metrics via one jitted reduction
-    (compiled once; runs as ICI/DCN collectives when the state is sharded)."""
+    """Cross-host/chip aggregate episode metrics via one jitted reduction.
+    With ``mesh``, the outputs are pinned replicated on it (the reductions
+    then run as ICI/DCN collectives over the sharded state); without, jit
+    infers the same from the state's shardings. One executable per mesh."""
+    if mesh is not None:
+        fn = _aggregate_by_mesh.get(mesh)
+        if fn is None:
+            fn = jax.jit(_aggregate_metrics_fn,
+                         out_shardings=NamedSharding(mesh, P()))
+            _aggregate_by_mesh[mesh] = fn
+        return dict(fn(state))
     return dict(_aggregate_metrics(state))

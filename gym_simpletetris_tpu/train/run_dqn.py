@@ -53,7 +53,14 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-jsonl", default=None)
     p.add_argument("--ckpt", default=None)
-    p.add_argument("--ckpt-every", type=int, default=50_000)
+    p.add_argument("--ckpt-every", type=int, default=50_000,
+                   help="checkpoint every N actor steps (needs --ckpt)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore --ckpt if it exists and continue from its "
+                        "actor-step count; training then proceeds exactly as "
+                        "if never interrupted (the checkpoint is the entire "
+                        "DQNState: params, optimizer, replay ring, env "
+                        "batch, RNG key, counters)")
     return p.parse_args(argv)
 
 
@@ -75,12 +82,19 @@ def main(argv=None):
 
     init_fn, _, chunk_fn, _ = make_train(cfg)
     state = init_fn(jax.random.PRNGKey(args.seed))
+    import os
+    if args.resume and args.ckpt and os.path.exists(args.ckpt):
+        from ..utils.checkpoint import restore_checkpoint
+        state = restore_checkpoint(args.ckpt, target=state)
+        print(json.dumps({"resumed_from": args.ckpt,
+                          "actor_steps": int(state.step)}), flush=True)
     chunk_jit = jax.jit(lambda s: chunk_fn(s, args.chunk))
 
     sink = open(args.log_jsonl, "a") if args.log_jsonl else None
     try:
-        steps, t0 = 0, time.time()
-        last_ckpt = 0
+        steps, t0 = int(state.step), time.time()
+        start_steps = steps
+        last_ckpt = steps
         while steps < args.total_steps:
             state, metrics = chunk_jit(state)
             steps += args.chunk
@@ -88,7 +102,8 @@ def main(argv=None):
             now = time.time()
             rec.update(actor_steps=steps, env_steps=steps * cfg.num_envs,
                        wall_s=round(now - t0, 2),
-                       sps=round(steps * cfg.num_envs / (now - t0), 1))
+                       sps=round((steps - start_steps) * cfg.num_envs
+                                 / (now - t0), 1))
             line = json.dumps(rec)
             print(line, flush=True)
             if sink:

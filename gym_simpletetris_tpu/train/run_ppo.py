@@ -37,6 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-jsonl", default=None)
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--ckpt-every", type=int, default=0,
+                   help="checkpoint every N updates (0 = only at the end)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore --ckpt if it exists and continue from its "
+                        "update count (the checkpoint is the entire PPOState)")
     return p.parse_args(argv)
 
 
@@ -52,24 +57,36 @@ def main(argv=None):
                     entropy_coef=args.entropy_coef)
     init_fn, update_fn, _ = make_ppo(cfg)
     state = init_fn(jax.random.PRNGKey(args.seed))
+    import os
+    if args.resume and args.ckpt and os.path.exists(args.ckpt):
+        from ..utils.checkpoint import restore_checkpoint
+        state = restore_checkpoint(args.ckpt, target=state)
+        print(json.dumps({"resumed_from": args.ckpt,
+                          "update": int(state.update)}), flush=True)
     upd = jax.jit(update_fn)
 
     sink = open(args.log_jsonl, "a") if args.log_jsonl else None
     try:
         t0 = time.time()
-        for u in range(args.updates):
+        u0 = int(state.update)
+        for u in range(u0, args.updates):
             state, metrics = upd(state)
             rec = {k: float(v) for k, v in metrics.items()}
             env_steps = (u + 1) * cfg.num_envs * cfg.rollout_len
             now = time.time()
             rec.update(update=u + 1, env_steps=env_steps,
                        wall_s=round(now - t0, 2),
-                       sps=round(env_steps / (now - t0), 1))
+                       sps=round((u + 1 - u0) * cfg.num_envs * cfg.rollout_len
+                                 / (now - t0), 1))
             line = json.dumps(rec)
             print(line, flush=True)
             if sink:
                 sink.write(line + "\n")
                 sink.flush()
+            if (args.ckpt and args.ckpt_every
+                    and (u + 1 - u0) % args.ckpt_every == 0):
+                from ..utils.checkpoint import save_checkpoint
+                save_checkpoint(args.ckpt, state)
         if args.ckpt:
             from ..utils.checkpoint import save_checkpoint
             save_checkpoint(args.ckpt, state)

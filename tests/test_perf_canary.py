@@ -1,0 +1,77 @@
+"""CPU-side performance canaries: compiled-cost regression guards.
+
+Real throughput floors need the TPU (tests/test_perf_floor.py, driver bench);
+these canaries instead pin the *compiled cost profile* of the hot paths via
+``compiled.cost_analysis()`` on the CPU backend, so CI catches gross
+regressions — a materialized float32 image (4x bytes), a materialized rgb
+triple (3x), a replay ring that copies its buffers every insert (the round-2
+bug class: 10x+) — without any hardware. Budgets are ~2x the measured values
+(see git history for calibration), loose enough to survive compiler-version
+drift, tight enough that the known failure modes blow through them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gym_simpletetris_tpu import EnvConfig
+from gym_simpletetris_tpu.api.env import build_rollout
+from gym_simpletetris_tpu.core.state import init_state
+
+B, T = 256, 8
+
+
+def _cost(fn, *args):
+    comp = jax.jit(fn).lower(*args).compile()
+    ca = comp.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return ca
+
+
+def _rollout_cost(obs_type, **cfg_kw):
+    cfg = EnvConfig(obs_type=obs_type, auto_reset=True, **cfg_kw)
+    fn = build_rollout(cfg, B, None, True, acc_mode="storage")
+    st = init_state(cfg, B, jax.random.PRNGKey(0))
+    acts = jnp.zeros((T, B), jnp.int32)
+    return _cost(fn, st, acts)
+
+
+def test_rollout_bytes_budget():
+    """Absolute bytes-accessed budgets (measured 1.85 / 29.3 MB)."""
+    assert _rollout_cost("ram")["bytes accessed"] < 4e6
+    assert _rollout_cost("grayscale")["bytes accessed"] < 60e6
+
+
+def test_rgb_costs_no_more_than_grayscale():
+    """The rgb channel triple must stay a lazy broadcast: its compiled
+    storage-obs pipeline may not touch more bytes than grayscale's."""
+    g = _rollout_cost("grayscale")["bytes accessed"]
+    r = _rollout_cost("rgb")["bytes accessed"]
+    assert r <= g * 1.02, (r, g)
+
+
+def test_f32_delivery_costs_no_more_than_uint8():
+    """float32 delivery is a fused cast of the uint8 storage pipeline — the
+    obs_dtype knob may not change the compiled cost of storage production."""
+    a = _rollout_cost("grayscale", obs_dtype="float32")["bytes accessed"]
+    b = _rollout_cost("grayscale", obs_dtype="uint8")["bytes accessed"]
+    assert a <= b * 1.02, (a, b)
+
+
+def test_train_chunk_bytes_budget():
+    """Full DQN train chunk (insert + sample + TD learner) over a 65536-row
+    ring: a ring that copies its buffers per insert (~54 MB/step here) blows
+    this budget by >3x (measured 128 MB for the 8-step chunk)."""
+    from gym_simpletetris_tpu.train.dqn import DQNConfig, make_train
+    cfg = DQNConfig(
+        env=EnvConfig(obs_type="ram", auto_reset=True, reward_step=True),
+        num_envs=64, buffer_capacity=65536, learn_batch=64, learn_starts=128)
+    init_fn, _, chunk_fn, _ = make_train(cfg)
+    st = init_fn(jax.random.PRNGKey(0))
+    ca = _cost(partial(chunk_fn, n=8), st)
+    assert ca["bytes accessed"] < 300e6, ca["bytes accessed"]
