@@ -154,10 +154,11 @@ class TetrisEnv:
         self.observation_space = spaces.observation_space(self.config)
         self.window = None
         self.clock = None
-        # engine attribute parity (tetris_env.py:152-162): action name maps
-        self.value_action_map = {
-            0: "left", 1: "right", 2: "hard_drop", 3: "soft_drop",
-            4: "rotate_left", 5: "rotate_right", 6: "idle"}
+        # engine attribute parity (tetris_env.py:152-162): the maps hold the
+        # movement-primitive FUNCTION OBJECTS like the reference's (user code
+        # calls them / inverts the map); see api/primitives.py
+        from .primitives import VALUE_ACTION_MAP
+        self.value_action_map = dict(VALUE_ACTION_MAP)
         self.action_value_map = {v: k for k, v in self.value_action_map.items()}
         self.nb_actions = len(self.value_action_map)
 

@@ -178,3 +178,38 @@ def test_register_gym_graceful_without_gym():
         assert "SimpleTetris-v0" in gym.envs.registry
     else:
         assert ok is False
+
+
+def test_primitive_functions():
+    """api/primitives.py vs the reference's module-level movement primitives
+    (tetris_env.py:39-73): identical (shape, anchor) results over random
+    boards/pieces/anchors — including above-board and out-of-range anchors
+    (the y<0 collision quirk) — and the shim's value_action_map holds the
+    callables like the reference's (tetris_env.py:152-161)."""
+    from reference_oracle import load_reference_module
+    from gym_simpletetris_tpu.api import primitives as P
+    from gym_simpletetris_tpu.api.gym_compat import TetrisEnv
+    from gym_simpletetris_tpu.core.pieces import OFFSETS
+
+    mod = load_reference_module()
+    pairs = [(P.left, mod.left), (P.right, mod.right),
+             (P.soft_drop, mod.soft_drop), (P.hard_drop, mod.hard_drop),
+             (P.rotate_left, mod.rotate_left),
+             (P.rotate_right, mod.rotate_right), (P.idle, mod.idle)]
+    rng = np.random.RandomState(0)
+    for trial in range(300):
+        w, h = int(rng.randint(4, 12)), int(rng.randint(4, 16))
+        board = (rng.rand(w, h) < 0.3).astype(float)
+        shape = [tuple(c) for c in
+                 OFFSETS[rng.randint(7), rng.randint(4)].tolist()]
+        anchor = (int(rng.randint(-2, w + 2)), int(rng.randint(-4, h)))
+        for ours, ref in pairs:
+            so, ao = ours(list(shape), anchor, board)
+            sr, ar = ref(list(shape), anchor, board)
+            assert list(so) == list(sr) and tuple(ao) == tuple(ar), \
+                (trial, ref.__name__, shape, anchor)
+
+    env = TetrisEnv()
+    assert env.value_action_map[2] is P.hard_drop
+    assert env.action_value_map[P.rotate_left] == 4
+    assert env.nb_actions == 7

@@ -2,13 +2,25 @@
 """Randomized soak fuzz: JAX engine vs native C++ oracle over random configs.
 
 Samples random (width, height, lock_delay, step_reset, scoring-flag-subset)
-configurations and lockstep-fuzzes B envs x T steps per config with injected
-draw streams, asserting bitwise boards/rewards/dones/carry-over. The CI fuzz
-(tests/test_native_oracle.py) covers a fixed 10-config matrix; this tool
-covers the combinatorial space at soak depth.
+configurations — including multi-word wide boards (width up to 56), deep
+boards (height up to 64) and long lock delays (up to 8) — and lockstep-fuzzes
+B envs x T steps per config with injected draw streams, asserting bitwise
+boards/rewards/dones/carry-over. Per config, one of four **action scripts**
+is drawn; three are adversarial, chosen to maximize lock/clear/death events
+per step (where parity bugs live — the lock FSM, compaction, death-erase and
+carry-over paths):
+
+  uniform     all 7 actions equally (the round-1 baseline)
+  drop-heavy  ~43% hard drops: a lock every ~2 steps, constant respawn churn
+  rotate-drop rotate/hard-drop mix: exercises rotated masks at lock time
+  stack-clear soft-drop + laterals: builds dense rows, maximizes line clears
+
+The CI fuzz (tests/test_native_oracle.py) covers a fixed 10-config matrix;
+this tool covers the combinatorial space at soak depth.
 
 Usage: python tools/soak_fuzz.py [--configs 30] [--batch 64] [--steps 1024]
-                                 [--seed 0] [--cpu]
+                                 [--seed 0] [--cpu] [--max-width 56]
+                                 [--max-height 64] [--max-lock-delay 8]
 """
 
 from __future__ import annotations
@@ -29,6 +41,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (default: whatever JAX picks)")
+    ap.add_argument("--max-width", type=int, default=56,
+                    help="widths 4..N; >24 exercises multi-word packed rows")
+    ap.add_argument("--max-height", type=int, default=64)
+    ap.add_argument("--max-lock-delay", type=int, default=8)
     args = ap.parse_args()
 
     if args.cpu:
@@ -50,15 +66,24 @@ def main():
                  "penalise_height_increase", "advanced_clears", "high_scoring",
                  "penalise_holes", "penalise_holes_increase")
 
+    # L, R, HARD, SOFT, ROTL, ROTR, IDLE = 0..6
+    SCRIPTS = {
+        "uniform": None,                      # plain randint
+        "drop-heavy": [0, 1, 2, 2, 2, 4, 5],
+        "rotate-drop": [2, 4, 5, 4, 5, 2, 3],
+        "stack-clear": [3, 3, 3, 0, 1, 2, 6],
+    }
+
     rng = np.random.RandomState(args.seed)
     B, T = args.batch, args.steps
     total = 0
     t0 = time.time()
     for ci in range(args.configs):
         cfg = EnvConfig(
-            width=int(rng.randint(4, 25)),
-            height=int(rng.randint(4, 33)),
-            lock_delay=int(rng.choice([0, 0, 1, 2, 5])),
+            width=int(rng.randint(4, args.max_width + 1)),
+            height=int(rng.randint(4, args.max_height + 1)),
+            lock_delay=int(rng.choice(
+                [0, 0, 1, 2, 5] + list(range(args.max_lock_delay + 1)))),
             step_reset=bool(rng.randint(2)),
             reward_step=bool(rng.randint(2)),
             penalise_height=bool(rng.randint(2)),
@@ -68,7 +93,13 @@ def main():
             penalise_holes=bool(rng.randint(2)),
             penalise_holes_increase=bool(rng.randint(2)),
         )
-        actions = rng.randint(0, 7, size=(T, B)).astype(np.int32)
+        script = list(SCRIPTS)[int(rng.randint(len(SCRIPTS)))]
+        menu = SCRIPTS[script]
+        if menu is None:
+            actions = rng.randint(0, 7, size=(T, B)).astype(np.int32)
+        else:
+            actions = np.asarray(menu, np.int32)[
+                rng.randint(0, len(menu), size=(T, B))]
         out = drive_many(actions.T,
                          rng.randint(1, 1 << 31, B).astype(np.uint64),
                          width=cfg.width, height=cfg.height,
@@ -104,8 +135,9 @@ def main():
                                       out["counts"])
         total += B * T
         print(f"[{ci+1}/{args.configs}] w{cfg.width} h{cfg.height} "
-              f"ld{cfg.lock_delay} flags="
+              f"ld{cfg.lock_delay} {script:11s} flags="
               f"{''.join(str(int(getattr(cfg, k))) for k in FLAG_KEYS[1:])} "
+              f"deaths={int(out['deaths'].sum())} "
               f"OK ({total/1e6:.2f}M steps, {time.time()-t0:.0f}s)",
               flush=True)
     print(f"SOAK PASS: {total/1e6:.2f}M steps bitwise across "
