@@ -214,7 +214,7 @@ class TetrisEnv:
         uint8 {0,128,190} image for grayscale/rgb) exactly like the
         reference — the float32 cast there happens in step/reset, not here.
         """
-        from ..ops.raster import rasterize_host
+        from ..ops.raster import build_raster_maps
         obs = state
         if obs is None:
             obs = self._board().astype(float)
@@ -224,8 +224,20 @@ class TetrisEnv:
             extend = self.extend_dims if extend_dims is None else extend_dims
             return (np.reshape(obs, (self.width, self.height, 1))
                     if extend else obs)
-        img = rasterize_host((obs != 0).astype(np.uint8).T,
-                             self.height, self.width, 84)
+        # convert_grayscale semantics incl. its value pass-through quirk:
+        # the board is uint8-cast, then 0 -> 128, 1 -> 190, and any OTHER
+        # value becomes that pixel shade verbatim (tetris_env.py:81, 97-98 —
+        # only 0 and 1 are remapped). Engine boards are 0/1; this matters for
+        # user-supplied ``state=`` arrays only.
+        h, w = self.height, self.width
+        base, cellmap = build_raster_maps(h, w, 84)
+        vals = np.asarray(obs, np.uint8).T                # (H, W), like :82
+        shades = np.where(vals == 0, np.uint8(128),
+                          np.where(vals == 1, np.uint8(190), vals))
+        flat = np.append(shades.reshape(-1), np.uint8(0))
+        img = np.where(cellmap < 0, base,
+                       flat[np.where(cellmap < 0, h * w, cellmap)])
+        img = img.astype(np.uint8)
         if new_mode == "grayscale":
             extend = self.extend_dims if extend_dims is None else extend_dims
             return np.reshape(img, (84, 84, 1)) if extend else img

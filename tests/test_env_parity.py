@@ -133,12 +133,18 @@ def test_observation_hook_parity():
                 (r != 0) if mode in (None, "ram") else r,
                 (o != 0) if mode in (None, "ram") else o,
                 err_msg=f"mode={mode} ext={ext}")
-    # explicit state= path: a custom board rasterized identically
+    # explicit state= path: a custom board rasterized identically — including
+    # the reference's value pass-through quirk (only 0/1 are remapped; other
+    # uint8 values become the pixel shade verbatim, tetris_env.py:97-98)
     board = np.zeros((10, 20)); board[3, 19] = 1; board[4, 10] = 1
+    board[7, 5] = 2; board[0, 0] = 77
     r = np.asarray(ref.env._observation(mode="grayscale", state=board))
     o = np.asarray(ours._observation(mode="grayscale", state=board))
     np.testing.assert_array_equal(r, o)
     assert r.dtype == o.dtype == np.uint8
+    r3 = np.asarray(ref.env._observation(mode="rgb", state=board))
+    o3 = np.asarray(ours._observation(mode="rgb", state=board))
+    np.testing.assert_array_equal(r3, o3)
 
 
 def test_seed_in_place_no_rebuild():
