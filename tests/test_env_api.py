@@ -65,6 +65,51 @@ def test_rollout_scan():
     np.testing.assert_array_equal(np.asarray(rew), np.asarray(rew2))
 
 
+@pytest.mark.parametrize("obs_type", ["ram", "grayscale", "rgb"])
+def test_rollout_matches_sequential_steps(obs_type):
+    """Drift guard: build_rollout's storage-mode scan body reimplements the
+    step (engine + auto-reset) to accumulate the storage obs — it must stay
+    bitwise equal to sequential step_fn calls (rewards, dones, final state)
+    and its accumulator must equal the sum of the per-step storage
+    observations, for both acc modes."""
+    from gym_simpletetris_tpu.api.env import (build_observation_storage,
+                                              step_fn)
+    from gym_simpletetris_tpu.core import engine as E
+    from gym_simpletetris_tpu.api.env import apply_reset_mask
+
+    cfg = EnvConfig(auto_reset=True, obs_type=obs_type, reward_step=True,
+                    width=6, height=8)   # small board: deaths inside horizon
+    env = TetrisVectorEnv(cfg, batch_size=8)
+    obs, state0 = env.reset(jax.random.PRNGKey(5))
+    T = 40
+    actions = jax.random.randint(jax.random.PRNGKey(6), (T, 8), 0, 7)
+
+    for acc_mode in ("storage", "delivered"):
+        final, acc, rew, done = env.rollout(state0, actions,
+                                            acc_mode=acc_mode)
+        st = state0
+        accs = None
+        rews, dones = [], []
+        for t in range(T):
+            o = E.engine_step(cfg, st, actions[t])
+            st, emitted = o.state, o.emitted_rows
+            st, emitted = apply_reset_mask(cfg, st, emitted, o.done)
+            s = build_observation_storage(cfg, emitted)
+            if acc_mode == "delivered":
+                from gym_simpletetris_tpu.api.env import obs_from_storage
+                s = obs_from_storage(cfg, s)
+            accs = s if accs is None else accs + s
+            rews.append(np.asarray(o.reward))
+            dones.append(np.asarray(o.done))
+        np.testing.assert_array_equal(np.asarray(rew), np.stack(rews))
+        np.testing.assert_array_equal(np.asarray(done), np.stack(dones))
+        np.testing.assert_array_equal(np.asarray(final.rows),
+                                      np.asarray(st.rows))
+        np.testing.assert_array_equal(np.asarray(final.key),
+                                      np.asarray(st.key))
+        np.testing.assert_array_equal(np.asarray(acc), np.asarray(accs))
+
+
 def test_make_registry():
     env = make("SimpleTetris-v0", obs_type="ram")
     obs = env.reset()
