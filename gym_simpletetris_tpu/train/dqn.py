@@ -290,11 +290,13 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
             step=state.step + 1, learn_steps=learn_steps, window=window)
         return new_state, metrics
 
-    def train_chunk_fn(state: DQNState, n: int):
+    def train_chunk_fn(state: DQNState, n: int, unroll: int = 1):
+        """``unroll`` forwards to lax.scan (unroll=4 measured +4% at 2.5x
+        compile time on v5e — opt-in, unlike the env rollout's default)."""
         def body(s, _):
             s, m = train_step_fn(s)
             return s, m
-        state, ms = jax.lax.scan(body, state, None, length=n)
+        state, ms = jax.lax.scan(body, state, None, length=n, unroll=unroll)
         return state, jax.tree.map(lambda x: x.mean(axis=0), ms)
 
     if mesh is None:

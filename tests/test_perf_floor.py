@@ -37,14 +37,37 @@ def test_tpu_throughput_floor():
     import time
     env = TetrisVectorEnv(EnvConfig(auto_reset=True), 4096)
     _, state = env.reset(jax.random.PRNGKey(0))
-    acts = jax.random.randint(jax.random.PRNGKey(1), (256, 4096), 0, 7)
+    acts = jax.random.randint(jax.random.PRNGKey(1), (1024, 4096), 0, 7)
     out = env.rollout(state, acts)
     np.asarray(out[2].sum())
+    # time 4 chained chunks with one final fetch: the remote backend's
+    # ~45 ms dispatch/fetch latency would dominate a single short call
     t0 = time.time()
-    out = env.rollout(out[0], acts)
+    for _ in range(4):
+        out = env.rollout(out[0], acts)
     np.asarray(out[2].sum())
-    sps = 256 * 4096 / (time.time() - t0)
-    # measured capability is ~120M (BENCH_LOCAL.md); 20M leaves 6x margin for
+    sps = 4 * 1024 * 4096 / (time.time() - t0)
+    # measured capability is ~144M (BENCH_LOCAL.md); 20M leaves 7x margin for
     # noisy neighbors/cold paths while still catching order-of-magnitude
     # regressions (and stays above the 10M north star)
     assert sps > 20_000_000, f"ram throughput regressed: {sps:,.0f} steps/s"
+
+
+@pytest.mark.skipif("cpu" in jax.devices()[0].platform.lower(),
+                    reason="absolute throughput floors only meaningful on TPU")
+def test_tpu_image_throughput_floor():
+    """Image-observation floor (measured ~35M with the sep raster; 10M floor
+    = the BASELINE north star, with 3.5x margin for noisy neighbors)."""
+    import time
+    env = TetrisVectorEnv(EnvConfig(obs_type="grayscale", auto_reset=True),
+                          4096)
+    _, state = env.reset(jax.random.PRNGKey(0))
+    acts = jax.random.randint(jax.random.PRNGKey(1), (1024, 4096), 0, 7)
+    out = env.rollout(state, acts)
+    np.asarray(out[2].sum())
+    t0 = time.time()
+    for _ in range(4):
+        out = env.rollout(out[0], acts)
+    np.asarray(out[2].sum())
+    sps = 4 * 1024 * 4096 / (time.time() - t0)
+    assert sps > 10_000_000, f"image throughput regressed: {sps:,.0f} steps/s"
