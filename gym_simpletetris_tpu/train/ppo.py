@@ -56,9 +56,16 @@ class PPOState:
     update: jnp.ndarray   # int32[]
 
 
-def make_ppo(cfg: PPOConfig):
+def make_ppo(cfg: PPOConfig, mesh=None, model_axis: str = "model"):
     """Returns (init_fn, update_fn, network): update_fn runs one full PPO
-    iteration (rollout + GAE + epochs) and returns (state, metrics)."""
+    iteration (rollout + GAE + epochs) and returns (state, metrics).
+
+    With ``mesh``, the returned functions are jit-compiled against the
+    path-assigned PPOState sharding (train/sharding.py — the same rules as
+    the DQN family): env batch and rollout along ``data``, dense/conv kernels
+    (and their Adam mirrors) along ``model_axis`` when present; ``init_fn``
+    constructs the state born sharded.
+    """
     from ..api import spaces
 
     ecfg = cfg.env
@@ -180,4 +187,16 @@ def make_ppo(cfg: PPOConfig):
                              update=state.update + 1)
         return new_state, metrics
 
-    return init_fn, update_fn, network
+    if mesh is None:
+        return init_fn, update_fn, network
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .sharding import train_state_sharding
+
+    abstract = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    sh = train_state_sharding(cfg, mesh, abstract, model_axis=model_axis)
+    rep = NamedSharding(mesh, P())
+    init_sharded = jax.jit(init_fn, out_shardings=sh)
+    update_sharded = jax.jit(update_fn, in_shardings=(sh,),
+                             out_shardings=(sh, rep), donate_argnums=(0,))
+    return init_sharded, update_sharded, network

@@ -64,12 +64,15 @@ def _param_spec(names, leaf, mesh: Mesh, model_axis: Optional[str]) -> P:
     return P()
 
 
-def dqn_state_sharding(dqn_cfg, mesh: Mesh, abstract_state,
-                       model_axis: Optional[str] = MODEL_AXIS):
-    """NamedSharding pytree for a DQNState, assigned by tree path.
+def train_state_sharding(dqn_cfg, mesh: Mesh, abstract_state,
+                         model_axis: Optional[str] = MODEL_AXIS):
+    """NamedSharding pytree for a train state (DQNState or PPOState),
+    assigned by tree path — the two states share their field vocabulary
+    (params/target_params/opt_state, replay, env_state, obs, window,
+    scalars), so one rule set covers both trainer families.
 
     ``abstract_state``: the ShapeDtypeStruct pytree from
-    ``jax.eval_shape(init_fn, key)`` (or a concrete DQNState).
+    ``jax.eval_shape(init_fn, key)`` (or a concrete state).
     ``model_axis``: mesh axis for tensor parallelism; pass None (or use a mesh
     without the axis) for pure data parallelism.
     """
@@ -98,3 +101,7 @@ def dqn_state_sharding(dqn_cfg, mesh: Mesh, abstract_state,
         return NamedSharding(mesh, P())           # key, step, learn_steps
 
     return jax.tree_util.tree_map_with_path(assign, abstract_state)
+
+
+# back-compat alias (round-2 API name)
+dqn_state_sharding = train_state_sharding

@@ -172,3 +172,42 @@ def test_make_train_mesh_aware_matches_unsharded(mesh):
     # chunked variant also runs sharded
     ss, m = chunk_s(ss, 4)
     assert np.isfinite(float(np.asarray(m["loss"])))
+
+
+def test_make_ppo_mesh_aware_matches_unsharded(mesh):
+    """make_ppo(cfg, mesh=...) — same path-assigned sharding family as DQN:
+    state born sharded, identical training trajectory vs unsharded."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from gym_simpletetris_tpu.train.ppo import PPOConfig, make_ppo
+
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh2 = Mesh(devs, ("data", "model"))
+    cfg = PPOConfig(
+        env=EnvConfig(obs_type="ram", auto_reset=True, reward_step=True,
+                      width=6, height=8),
+        num_envs=16, rollout_len=8, num_minibatches=2, epochs=1)
+
+    init_u, upd_u, _ = make_ppo(cfg)
+    init_s, upd_s, _ = make_ppo(cfg, mesh=mesh2)
+    su = init_u(jax.random.PRNGKey(9))
+    ss = init_s(jax.random.PRNGKey(9))
+    assert ss.obs.sharding.spec == P("data")
+    assert ss.env_state.rows.sharding.spec == P(None, "data")
+    kernels = [l for p, l in jax.tree_util.tree_leaves_with_path(ss.params)
+               if "kernel" in jax.tree_util.keystr(p)]
+    assert any(l.sharding.spec == P(*((None,) * (l.ndim - 1) + ("model",)))
+               for l in kernels)
+
+    upd_uj = jax.jit(upd_u)
+    for _ in range(5):
+        su, mu = upd_uj(su)
+        ss, ms = upd_s(ss)
+    assert int(su.update) == int(ss.update) == 5
+    np.testing.assert_array_equal(np.asarray(su.env_state.rows),
+                                  np.asarray(ss.env_state.rows))
+    for (pu, lu), (_, ls) in zip(
+            jax.tree_util.tree_leaves_with_path(su.params),
+            jax.tree_util.tree_leaves_with_path(ss.params)):
+        np.testing.assert_allclose(np.asarray(lu), np.asarray(ls),
+                                   rtol=2e-4, atol=2e-6,
+                                   err_msg=jax.tree_util.keystr(pu))
