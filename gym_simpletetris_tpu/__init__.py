@@ -29,7 +29,7 @@ from .api.env import TetrisVectorEnv, step_fn, reset_fn, build_observation
 from .api.gym_compat import TetrisEnv
 from .api.registry import make, register, register_gym, register_gymnasium
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "EnvConfig", "EnvState", "init_state", "PIECE_NAMES",
