@@ -34,8 +34,11 @@ def _cost(fn, *args):
 
 
 def _rollout_cost(obs_type, **cfg_kw):
+    # unroll=1: cost_analysis counts each unrolled body instance's
+    # intermediates separately (~3.7x at the default unroll=4), which would
+    # drown the materialization signal these budgets exist to catch.
     cfg = EnvConfig(obs_type=obs_type, auto_reset=True, **cfg_kw)
-    fn = build_rollout(cfg, B, None, True, acc_mode="storage")
+    fn = build_rollout(cfg, B, None, True, acc_mode="storage", unroll=1)
     st = init_state(cfg, B, jax.random.PRNGKey(0))
     acts = jnp.zeros((T, B), jnp.int32)
     return _cost(fn, st, acts)
