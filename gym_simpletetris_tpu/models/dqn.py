@@ -9,6 +9,12 @@ framework's bundled model family, sized for TPU:
   float32 params.
 - ``RamDQN``: an MLP for the (W, H) ram observation.
 - ``DuelingHead``: optional dueling value/advantage decomposition.
+- ``C51Head``: distributional RL (Bellemare et al. 2017) — ``num_atoms > 0``
+  on either trunk switches the output from scalar Q-values [B, A] to
+  categorical return-distribution logits [B, A, num_atoms]; the trainer
+  (train/dqn.py, ``DQNConfig.distributional``) owns the support and the
+  projected cross-entropy loss. Composes with dueling (value/advantage
+  decomposition per atom, mean-advantage identifiability constraint).
 
 TP note: the dense layers carry nearly all parameters; ``train/dqn.py`` shards
 them over the mesh's model axis when requested (pjit handles the collectives).
@@ -36,6 +42,32 @@ class DuelingHead(nn.Module):
         return v + a - a.mean(axis=-1, keepdims=True)
 
 
+class C51Head(nn.Module):
+    """Categorical return-distribution logits [B, A, num_atoms].
+
+    ``dueling=True`` decomposes per atom: logits = V(s) + A(s,a) - mean_a A
+    (the C51 analogue of the dueling constraint, applied in logit space as in
+    Rainbow, Hessel et al. 2018).
+    """
+    num_actions: int = NUM_ACTIONS
+    num_atoms: int = 51
+    dueling: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        a, z = self.num_actions, self.num_atoms
+        if self.dueling:
+            v = nn.Dense(z, dtype=self.dtype, name="value")(x)
+            adv = nn.Dense(a * z, dtype=self.dtype, name="advantage")(x)
+            adv = adv.reshape(adv.shape[:-1] + (a, z))
+            logits = v[..., None, :] + adv - adv.mean(axis=-2, keepdims=True)
+        else:
+            logits = nn.Dense(a * z, dtype=self.dtype, name="logits")(x)
+            logits = logits.reshape(logits.shape[:-1] + (a, z))
+        return logits
+
+
 class NatureDQN(nn.Module):
     """Mnih et al. conv trunk for 84x84 inputs, TPU-sized (bf16 compute).
 
@@ -46,6 +78,7 @@ class NatureDQN(nn.Module):
     num_actions: int = NUM_ACTIONS
     dueling: bool = False
     width_mult: int = 1
+    num_atoms: int = 0   # > 0: C51 logits [B, A, num_atoms] instead of Q [B, A]
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -66,7 +99,10 @@ class NatureDQN(nn.Module):
         x = x.reshape((x.shape[0], -1))
         x = nn.Dense(512 * w, dtype=self.dtype, name="dense")(x)
         x = nn.relu(x)
-        if self.dueling:
+        if self.num_atoms > 0:
+            q = C51Head(self.num_actions, self.num_atoms, self.dueling,
+                        dtype=self.dtype)(x)
+        elif self.dueling:
             q = DuelingHead(self.num_actions, dtype=self.dtype)(x)
         else:
             q = nn.Dense(self.num_actions, dtype=self.dtype, name="q")(x)
@@ -78,6 +114,7 @@ class RamDQN(nn.Module):
     num_actions: int = NUM_ACTIONS
     hidden: Sequence[int] = (512, 256)
     dueling: bool = False
+    num_atoms: int = 0   # > 0: C51 logits [B, A, num_atoms] instead of Q [B, A]
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -86,7 +123,10 @@ class RamDQN(nn.Module):
         for i, h in enumerate(self.hidden):
             x = nn.Dense(h, dtype=self.dtype, name=f"dense{i}")(x)
             x = nn.relu(x)
-        if self.dueling:
+        if self.num_atoms > 0:
+            q = C51Head(self.num_actions, self.num_atoms, self.dueling,
+                        dtype=self.dtype)(x)
+        elif self.dueling:
             q = DuelingHead(self.num_actions, dtype=self.dtype)(x)
         else:
             q = nn.Dense(self.num_actions, dtype=self.dtype, name="q")(x)
@@ -94,8 +134,14 @@ class RamDQN(nn.Module):
 
 
 def build_q_network(obs_type: str, obs_shape, dueling: bool = False,
-                    width_mult: int = 1) -> nn.Module:
-    """Pick the model family for an observation space shape."""
+                    width_mult: int = 1, num_atoms: int = 0) -> nn.Module:
+    """Pick the model family for an observation space shape.
+
+    ``num_atoms > 0`` selects the distributional (C51) head: the network
+    returns [B, A, num_atoms] logits; the trainer turns them into Q-values
+    via the expected value over its support.
+    """
     if obs_type == "ram":
-        return RamDQN(dueling=dueling)
-    return NatureDQN(dueling=dueling, width_mult=width_mult)
+        return RamDQN(dueling=dueling, num_atoms=num_atoms)
+    return NatureDQN(dueling=dueling, width_mult=width_mult,
+                     num_atoms=num_atoms)

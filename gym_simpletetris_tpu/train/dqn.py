@@ -7,7 +7,8 @@ logging boundaries. Under a data mesh the env batch, replay and learner batch
 shard along ``parallel.mesh.DATA_AXIS``; with replicated params jit inserts the
 gradient all-reduce (ICI psum) automatically.
 
-Double DQN + optional dueling heads; epsilon is linearly annealed on device.
+Double DQN + optional dueling heads + optional distributional (C51) targets;
+epsilon is linearly annealed on device.
 """
 
 from __future__ import annotations
@@ -55,6 +56,10 @@ class DQNConfig:
     per_beta0: float = 0.4
     per_beta_steps: int = 100_000
     per_eps: float = 1e-3
+    distributional: bool = False  # C51 (Bellemare et al. 2017): categorical
+    num_atoms: int = 51           # return distributions on a fixed support,
+    v_min: float = -110.0         # projected cross-entropy loss. Default
+    v_max: float = 110.0          # support covers the -100 death overwrite.
 
     def __post_init__(self):
         if self.buffer_capacity % self.num_envs:
@@ -74,6 +79,27 @@ class DQNState:
     learn_steps: jnp.ndarray  # int32[]
     window: Any = None        # n-step pending transitions (n_step > 1):
                               # dict of [n-1, B, ...] arrays
+
+
+def project_distribution(probs, tz, v_min: float, v_max: float,
+                         num_atoms: int):
+    """Project a categorical distribution onto the fixed support (C51).
+
+    ``probs``: [B, num_atoms] target-atom masses; ``tz``: [B, num_atoms]
+    Bellman-shifted atom positions (reward + discount * z). Each shifted atom
+    splits its mass linearly between the two support neighbours it lands
+    between (Bellemare et al. 2017, algorithm 1) — vectorized as two one-hot
+    expansions summed over source atoms, no scatter in the compiled program.
+    """
+    dz = (v_max - v_min) / (num_atoms - 1)
+    b = (jnp.clip(tz, v_min, v_max) - v_min) / dz      # [B, n] in [0, n-1]
+    low = jnp.floor(b)
+    up = jnp.minimum(low + 1.0, num_atoms - 1.0)
+    w_up = b - low                                      # 0 when b integral
+    low_oh = jax.nn.one_hot(low.astype(jnp.int32), num_atoms)  # [B, n, n]
+    up_oh = jax.nn.one_hot(up.astype(jnp.int32), num_atoms)
+    return ((probs * (1.0 - w_up))[..., None] * low_oh
+            + (probs * w_up)[..., None] * up_oh).sum(axis=1)   # [B, n]
 
 
 def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
@@ -101,7 +127,17 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
     base_shape = spaces.observation_space(ecfg).shape
     k = cfg.frame_stack
     obs_shape = base_shape + (k,) if k > 1 else base_shape
-    network = build_q_network(ecfg.obs_type, obs_shape, dueling=cfg.dueling)
+    atoms = cfg.num_atoms if cfg.distributional else 0
+    network = build_q_network(ecfg.obs_type, obs_shape, dueling=cfg.dueling,
+                              num_atoms=atoms)
+    support = jnp.linspace(cfg.v_min, cfg.v_max, cfg.num_atoms)
+
+    def q_values(params, obs):
+        """Scalar Q [B, A]: direct net output, or E[Z] under the C51 head."""
+        out = network.apply(params, obs)
+        if not cfg.distributional:
+            return out
+        return (jax.nn.softmax(out, axis=-1) * support).sum(axis=-1)
 
     def _stack_reset(obs):
         return jnp.repeat(obs[..., None], k, axis=-1) if k > 1 else obs
@@ -215,11 +251,39 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
                          jnp.abs(err) - 0.5)
         return (loss * weights).mean(), (err, q_sel)
 
+    def c51_loss(params, target_params, batch, weights):
+        """Projected categorical cross-entropy (C51). The replay ``discount``
+        (= gamma^m * (1 - done), shared with the scalar TD target) collapses
+        the shifted support to the pure reward at episode ends, so the
+        projection needs no separate done handling. The per-sample
+        cross-entropy doubles as the PER priority signal (Rainbow's choice)."""
+        logits = network.apply(params, batch["obs"])          # [B, A, n]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        logp_a = jnp.take_along_axis(
+            logp, batch["action"][:, None, None], axis=1)[:, 0]  # [B, n]
+        q_sel = (jnp.exp(logp_a) * support).sum(axis=-1)
+
+        logits_t = network.apply(target_params, batch["next_obs"])
+        p_t = jax.nn.softmax(logits_t, axis=-1)               # [B, A, n]
+        if cfg.double_dqn:
+            a_star = jnp.argmax(q_values(params, batch["next_obs"]), axis=1)
+        else:
+            a_star = jnp.argmax((p_t * support).sum(axis=-1), axis=1)
+        p_next = jnp.take_along_axis(
+            p_t, a_star[:, None, None], axis=1)[:, 0]         # [B, n]
+        tz = batch["reward"][:, None] + batch["discount"][:, None] * support
+        m = project_distribution(p_next, tz, cfg.v_min, cfg.v_max,
+                                 cfg.num_atoms)
+        ce = -(jax.lax.stop_gradient(m) * logp_a).sum(axis=-1)  # [B]
+        return (ce * weights).mean(), (ce, q_sel)
+
+    loss_fn = c51_loss if cfg.distributional else td_loss
+
     def train_step_fn(state: DQNState):
         k_eps, k_act, k_sample, key = jax.random.split(state.key, 4)
 
         # -- actor: epsilon-greedy on the current obs ---------------------------
-        q = network.apply(state.params, state.obs)
+        q = q_values(state.params, state.obs)
         greedy = jnp.argmax(q, axis=1).astype(jnp.int32)
         rand_a = jax.random.randint(k_act, (cfg.num_envs,), 0, NUM_ACTIONS)
         explore = jax.random.uniform(k_eps, (cfg.num_envs,)) < epsilon(state.step)
@@ -253,7 +317,7 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
             batch = replay_sample(replay, k_sample, cfg.learn_batch)
             weights = jnp.ones((cfg.learn_batch,), jnp.float32)
         (loss, (err, q_sel)), grads = jax.value_and_grad(
-            td_loss, has_aux=True)(state.params, state.target_params, batch,
+            loss_fn, has_aux=True)(state.params, state.target_params, batch,
                                    weights)
         if cfg.prioritized:
             new_prio = replay_update_priority(replay, per_idx, err,

@@ -40,7 +40,7 @@ def evaluate_policy(env: TetrisVectorEnv, action_fn, steps: int, seed: int) -> d
 
 
 def make_action_fn(name: str, cfg: EnvConfig, batch: int, ckpt: str = None,
-                   seed: int = 0):
+                   seed: int = 0, atoms: int = 0):
     if name == "random":
         rng = np.random.RandomState(seed)
         return lambda obs, st: jnp.asarray(rng.randint(0, 7, batch))
@@ -69,14 +69,22 @@ def make_action_fn(name: str, cfg: EnvConfig, batch: int, ckpt: str = None,
         from ..models.dqn import build_q_network
         from ..utils.checkpoint import restore_checkpoint
         from ..api import spaces
-        net = build_q_network(cfg.obs_type, spaces.observation_space(cfg).shape)
+        net = build_q_network(cfg.obs_type, spaces.observation_space(cfg).shape,
+                              num_atoms=atoms)
         tree = restore_checkpoint(ckpt)
         params = tree["params"] if isinstance(tree, dict) and "params" in tree \
             else tree.params
 
         @jax.jit
         def act(obs):
-            return jnp.argmax(net.apply(params, obs), axis=1).astype(jnp.int32)
+            out = net.apply(params, obs)
+            if atoms:
+                # greedy over E[Z] — invariant to the (linear) support's
+                # affine placement, so an atom-index surrogate support works
+                # without knowing the training v_min/v_max
+                idx = jnp.arange(atoms, dtype=jnp.float32)
+                out = (jax.nn.softmax(out, axis=-1) * idx).sum(axis=-1)
+            return jnp.argmax(out, axis=1).astype(jnp.int32)
         return lambda obs, st: act(obs)
     raise ValueError(f"unknown policy {name!r}")
 
@@ -92,6 +100,8 @@ def main(argv=None):
     p.add_argument("--num-envs", type=int, default=256)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--atoms", type=int, default=0,
+                   help="num_atoms of a distributional (C51) dqn checkpoint")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -100,7 +110,8 @@ def main(argv=None):
     env = TetrisVectorEnv(cfg, args.num_envs)
     results = {}
     for name in args.policies:
-        fn = make_action_fn(name, cfg, args.num_envs, args.ckpt, args.seed)
+        fn = make_action_fn(name, cfg, args.num_envs, args.ckpt, args.seed,
+                            atoms=args.atoms)
         results[name] = evaluate_policy(env, fn, args.steps, args.seed)
         print(json.dumps({name: results[name]}), flush=True)
     return results

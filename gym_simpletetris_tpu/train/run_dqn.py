@@ -50,6 +50,11 @@ def parse_args(argv=None):
                    help="prioritized replay (on-device Gumbel-top-k)")
     p.add_argument("--per-alpha", type=float, default=0.6)
     p.add_argument("--per-beta0", type=float, default=0.4)
+    p.add_argument("--distributional", action="store_true",
+                   help="C51 categorical value distributions")
+    p.add_argument("--num-atoms", type=int, default=51)
+    p.add_argument("--v-min", type=float, default=-110.0)
+    p.add_argument("--v-max", type=float, default=110.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-jsonl", default=None)
     p.add_argument("--ckpt", default=None)
@@ -78,7 +83,8 @@ def main(argv=None):
         dueling=args.dueling, double_dqn=not args.no_double,
         frame_stack=args.frame_stack, n_step=args.n_step,
         prioritized=args.prioritized, per_alpha=args.per_alpha,
-        per_beta0=args.per_beta0)
+        per_beta0=args.per_beta0, distributional=args.distributional,
+        num_atoms=args.num_atoms, v_min=args.v_min, v_max=args.v_max)
 
     init_fn, _, chunk_fn, _ = make_train(cfg)
     state = init_fn(jax.random.PRNGKey(args.seed))

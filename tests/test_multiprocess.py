@@ -177,7 +177,9 @@ def test_two_process_dqn_train_step(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=360)
+            # generous: cold persistent-compile-cache runs on a loaded host
+            # have been observed near 6 min; the warm-cache run takes ~20 s
+            out, _ = p.communicate(timeout=720)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
