@@ -60,6 +60,10 @@ class DQNConfig:
     num_atoms: int = 51           # return distributions on a fixed support,
     v_min: float = -110.0         # projected cross-entropy loss. Default
     v_max: float = 110.0          # support covers the -100 death overwrite.
+    noisy: bool = False   # NoisyNet FC layers (Fortunato et al. 2018):
+                          # exploration by parameter noise resampled every
+                          # actor step and learner forward; epsilon-greedy is
+                          # disabled (Rainbow's convention).
 
     def __post_init__(self):
         if self.buffer_capacity % self.num_envs:
@@ -129,12 +133,19 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
     obs_shape = base_shape + (k,) if k > 1 else base_shape
     atoms = cfg.num_atoms if cfg.distributional else 0
     network = build_q_network(ecfg.obs_type, obs_shape, dueling=cfg.dueling,
-                              num_atoms=atoms)
+                              num_atoms=atoms, noisy=cfg.noisy)
     support = jnp.linspace(cfg.v_min, cfg.v_max, cfg.num_atoms)
 
-    def q_values(params, obs):
+    def apply_net(params, obs, nk=None):
+        """Forward pass; with NoisyNets each call draws fresh factorized
+        noise from ``nk`` (independent noise per forward, as in Rainbow)."""
+        if cfg.noisy:
+            return network.apply(params, obs, rngs={"noise": nk})
+        return network.apply(params, obs)
+
+    def q_values(params, obs, nk=None):
         """Scalar Q [B, A]: direct net output, or E[Z] under the C51 head."""
-        out = network.apply(params, obs)
+        out = apply_net(params, obs, nk)
         if not cfg.distributional:
             return out
         return (jax.nn.softmax(out, axis=-1) * support).sum(axis=-1)
@@ -233,12 +244,13 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
         return (window["obs"][0].astype(jnp.float32), window["action"][0],
                 ret, next_obs_t, discount, done_any)
 
-    def td_loss(params, target_params, batch, weights):
-        q = network.apply(params, batch["obs"])                       # [B, A]
+    def td_loss(params, target_params, batch, weights, nkey):
+        k1, k2, k3 = jax.random.split(nkey, 3)
+        q = apply_net(params, batch["obs"], k1)                       # [B, A]
         q_sel = jnp.take_along_axis(q, batch["action"][:, None], 1)[:, 0]
-        q_next_t = network.apply(target_params, batch["next_obs"])    # [B, A]
+        q_next_t = apply_net(target_params, batch["next_obs"], k2)    # [B, A]
         if cfg.double_dqn:
-            q_next_online = network.apply(params, batch["next_obs"])
+            q_next_online = apply_net(params, batch["next_obs"], k3)
             a_star = jnp.argmax(q_next_online, axis=1)
             q_next = jnp.take_along_axis(q_next_t, a_star[:, None], 1)[:, 0]
         else:
@@ -251,22 +263,24 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
                          jnp.abs(err) - 0.5)
         return (loss * weights).mean(), (err, q_sel)
 
-    def c51_loss(params, target_params, batch, weights):
+    def c51_loss(params, target_params, batch, weights, nkey):
         """Projected categorical cross-entropy (C51). The replay ``discount``
         (= gamma^m * (1 - done), shared with the scalar TD target) collapses
         the shifted support to the pure reward at episode ends, so the
         projection needs no separate done handling. The per-sample
         cross-entropy doubles as the PER priority signal (Rainbow's choice)."""
-        logits = network.apply(params, batch["obs"])          # [B, A, n]
+        k1, k2, k3 = jax.random.split(nkey, 3)
+        logits = apply_net(params, batch["obs"], k1)          # [B, A, n]
         logp = jax.nn.log_softmax(logits, axis=-1)
         logp_a = jnp.take_along_axis(
             logp, batch["action"][:, None, None], axis=1)[:, 0]  # [B, n]
         q_sel = (jnp.exp(logp_a) * support).sum(axis=-1)
 
-        logits_t = network.apply(target_params, batch["next_obs"])
+        logits_t = apply_net(target_params, batch["next_obs"], k2)
         p_t = jax.nn.softmax(logits_t, axis=-1)               # [B, A, n]
         if cfg.double_dqn:
-            a_star = jnp.argmax(q_values(params, batch["next_obs"]), axis=1)
+            a_star = jnp.argmax(
+                q_values(params, batch["next_obs"], k3), axis=1)
         else:
             a_star = jnp.argmax((p_t * support).sum(axis=-1), axis=1)
         p_next = jnp.take_along_axis(
@@ -280,14 +294,22 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
     loss_fn = c51_loss if cfg.distributional else td_loss
 
     def train_step_fn(state: DQNState):
-        k_eps, k_act, k_sample, key = jax.random.split(state.key, 4)
+        k_eps, k_act, k_sample, k_nact, k_nlearn, key = jax.random.split(
+            state.key, 6)
 
-        # -- actor: epsilon-greedy on the current obs ---------------------------
-        q = q_values(state.params, state.obs)
+        # -- actor: epsilon-greedy (or noisy-greedy) on the current obs ---------
+        q = q_values(state.params, state.obs, k_nact)
         greedy = jnp.argmax(q, axis=1).astype(jnp.int32)
-        rand_a = jax.random.randint(k_act, (cfg.num_envs,), 0, NUM_ACTIONS)
-        explore = jax.random.uniform(k_eps, (cfg.num_envs,)) < epsilon(state.step)
-        action = jnp.where(explore, rand_a, greedy)
+        if cfg.noisy:
+            # NoisyNet exploration: fresh parameter noise each step, no
+            # epsilon-greedy (Rainbow). k_eps/k_act stay drawn so the RNG
+            # stream is identical across the noisy/eps-greedy variants.
+            action = greedy
+        else:
+            rand_a = jax.random.randint(k_act, (cfg.num_envs,), 0, NUM_ACTIONS)
+            explore = (jax.random.uniform(k_eps, (cfg.num_envs,))
+                       < epsilon(state.step))
+            action = jnp.where(explore, rand_a, greedy)
 
         raw_next, env_state, reward, done, _ = step_fn(ecfg, state.env_state,
                                                        action)
@@ -318,7 +340,7 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
             weights = jnp.ones((cfg.learn_batch,), jnp.float32)
         (loss, (err, q_sel)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.target_params, batch,
-                                   weights)
+                                   weights, k_nlearn)
         if cfg.prioritized:
             new_prio = replay_update_priority(replay, per_idx, err,
                                               cfg.per_alpha, cfg.per_eps)
@@ -345,7 +367,7 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
             "mean_q": q_sel.mean(),
             "mean_reward": reward.mean(),
             "episodes_done": done.sum().astype(jnp.float32),
-            "epsilon": epsilon(state.step),
+            "epsilon": (jnp.zeros(()) if cfg.noisy else epsilon(state.step)),
             "td_abs_err": jnp.abs(err).mean(),
         }
         new_state = state.replace(

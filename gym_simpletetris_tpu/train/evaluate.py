@@ -40,7 +40,7 @@ def evaluate_policy(env: TetrisVectorEnv, action_fn, steps: int, seed: int) -> d
 
 
 def make_action_fn(name: str, cfg: EnvConfig, batch: int, ckpt: str = None,
-                   seed: int = 0, atoms: int = 0):
+                   seed: int = 0, atoms: int = 0, noisy: bool = False):
     if name == "random":
         rng = np.random.RandomState(seed)
         return lambda obs, st: jnp.asarray(rng.randint(0, 7, batch))
@@ -69,8 +69,10 @@ def make_action_fn(name: str, cfg: EnvConfig, batch: int, ckpt: str = None,
         from ..models.dqn import build_q_network
         from ..utils.checkpoint import restore_checkpoint
         from ..api import spaces
+        # noisy only shapes the param tree; applying without a "noise" rng
+        # below is the deterministic mu-only policy net
         net = build_q_network(cfg.obs_type, spaces.observation_space(cfg).shape,
-                              num_atoms=atoms)
+                              num_atoms=atoms, noisy=noisy)
         tree = restore_checkpoint(ckpt)
         params = tree["params"] if isinstance(tree, dict) and "params" in tree \
             else tree.params
@@ -102,6 +104,9 @@ def main(argv=None):
     p.add_argument("--ckpt", default=None)
     p.add_argument("--atoms", type=int, default=0,
                    help="num_atoms of a distributional (C51) dqn checkpoint")
+    p.add_argument("--noisy", action="store_true",
+                   help="the dqn checkpoint has NoisyNet layers (evaluated "
+                        "deterministically with the mu weights)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -111,7 +116,7 @@ def main(argv=None):
     results = {}
     for name in args.policies:
         fn = make_action_fn(name, cfg, args.num_envs, args.ckpt, args.seed,
-                            atoms=args.atoms)
+                            atoms=args.atoms, noisy=args.noisy)
         results[name] = evaluate_policy(env, fn, args.steps, args.seed)
         print(json.dumps({name: results[name]}), flush=True)
     return results

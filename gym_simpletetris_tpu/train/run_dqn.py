@@ -55,6 +55,9 @@ def parse_args(argv=None):
     p.add_argument("--num-atoms", type=int, default=51)
     p.add_argument("--v-min", type=float, default=-110.0)
     p.add_argument("--v-max", type=float, default=110.0)
+    p.add_argument("--noisy", action="store_true",
+                   help="NoisyNet layers (exploration by parameter noise; "
+                        "disables epsilon-greedy)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-jsonl", default=None)
     p.add_argument("--ckpt", default=None)
@@ -84,7 +87,8 @@ def main(argv=None):
         frame_stack=args.frame_stack, n_step=args.n_step,
         prioritized=args.prioritized, per_alpha=args.per_alpha,
         per_beta0=args.per_beta0, distributional=args.distributional,
-        num_atoms=args.num_atoms, v_min=args.v_min, v_max=args.v_max)
+        num_atoms=args.num_atoms, v_min=args.v_min, v_max=args.v_max,
+        noisy=args.noisy)
 
     init_fn, _, chunk_fn, _ = make_train(cfg)
     state = init_fn(jax.random.PRNGKey(args.seed))

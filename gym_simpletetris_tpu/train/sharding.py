@@ -54,10 +54,11 @@ def _path_names(path) -> list:
 
 
 def _param_spec(names, leaf, mesh: Mesh, model_axis: Optional[str]) -> P:
-    """TP rule: 'kernel' leaves shard the output (last) axis over the model
-    axis when it divides; everything else replicates."""
+    """TP rule: 'kernel' leaves (incl. NoisyDense's kernel_mu/kernel_sigma)
+    shard the output (last) axis over the model axis when it divides;
+    everything else replicates."""
     if (model_axis and model_axis in mesh.shape
-            and names and names[-1] == "kernel"
+            and names and names[-1] in ("kernel", "kernel_mu", "kernel_sigma")
             and getattr(leaf, "ndim", 0) >= 2
             and leaf.shape[-1] % mesh.shape[model_axis] == 0):
         return P(*((None,) * (leaf.ndim - 1) + (model_axis,)))
