@@ -64,10 +64,17 @@ class DQNConfig:
                           # exploration by parameter noise resampled every
                           # actor step and learner forward; epsilon-greedy is
                           # disabled (Rainbow's convention).
+    learn_every: int = 1  # actor steps per learner update (Rainbow uses 4;
+                          # with a batched actor each "actor step" is already
+                          # num_envs transitions, so the default stays 1 —
+                          # raise it to trade sample reuse for throughput on
+                          # conv models where the learner dominates).
 
     def __post_init__(self):
         if self.buffer_capacity % self.num_envs:
             raise ValueError("buffer_capacity must be a multiple of num_envs")
+        if self.learn_every < 1:
+            raise ValueError("learn_every must be >= 1")
 
 
 @struct.dataclass
@@ -293,7 +300,9 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
 
     loss_fn = c51_loss if cfg.distributional else td_loss
 
-    def train_step_fn(state: DQNState):
+    def _actor_half(state: DQNState):
+        """One env interaction + replay insert; no learner. Returns the
+        advanced state plus what the learner half needs."""
         k_eps, k_act, k_sample, k_nact, k_nlearn, key = jax.random.split(
             state.key, 6)
 
@@ -325,6 +334,20 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
             replay = replay_insert(state.replay, state.obs, next_obs, action,
                                    reward, done, gamma=cfg.gamma)
             window = state.window
+        state = state.replace(replay=replay, env_state=env_state,
+                              obs=next_obs, key=key, step=state.step + 1,
+                              window=window)
+        return state, (k_sample, k_nlearn, reward, done)
+
+    def actor_step_fn(state: DQNState):
+        """Actor-only step (used between learner updates when
+        ``learn_every > 1`` — the gradient graph is never built)."""
+        state, _ = _actor_half(state)
+        return state
+
+    def train_step_fn(state: DQNState):
+        state, (k_sample, k_nlearn, reward, done) = _actor_half(state)
+        replay = state.replay
 
         # -- learner: one TD step once the buffer has warmed up -----------------
         can_learn = replay.filled >= cfg.learn_starts
@@ -339,8 +362,8 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
             batch = replay_sample(replay, k_sample, cfg.learn_batch)
             weights = jnp.ones((cfg.learn_batch,), jnp.float32)
         (loss, (err, q_sel)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.target_params, batch,
-                                   weights, k_nlearn)
+            loss_fn, has_aux=True)(state.params, state.target_params,
+                                   batch, weights, k_nlearn)
         if cfg.prioritized:
             new_prio = replay_update_priority(replay, per_idx, err,
                                               cfg.per_alpha, cfg.per_eps)
@@ -367,22 +390,34 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
             "mean_q": q_sel.mean(),
             "mean_reward": reward.mean(),
             "episodes_done": done.sum().astype(jnp.float32),
-            "epsilon": (jnp.zeros(()) if cfg.noisy else epsilon(state.step)),
+            # the actor half already advanced step; report its pre-act value
+            "epsilon": (jnp.zeros(()) if cfg.noisy
+                        else epsilon(state.step - 1)),
             "td_abs_err": jnp.abs(err).mean(),
         }
         new_state = state.replace(
             params=params, target_params=target_params, opt_state=opt_state,
-            replay=replay, env_state=env_state, obs=next_obs, key=key,
-            step=state.step + 1, learn_steps=learn_steps, window=window)
+            replay=replay, learn_steps=learn_steps)
         return new_state, metrics
 
     def train_chunk_fn(state: DQNState, n: int, unroll: int = 1):
-        """``unroll`` forwards to lax.scan (unroll=4 measured +4% at 2.5x
-        compile time on v5e — opt-in, unlike the env rollout's default)."""
+        """``n`` actor steps; one learner update per ``cfg.learn_every`` of
+        them (the scan body is learn_every-1 actor-only steps + 1 full step,
+        so skipped updates never build their gradient graph). ``unroll``
+        forwards to lax.scan (unroll=4 measured +4% at 2.5x compile time on
+        v5e — opt-in, unlike the env rollout's default)."""
+        le = cfg.learn_every
+        if n % le:
+            raise ValueError(f"chunk length {n} must be a multiple of "
+                             f"learn_every={le}")
+
         def body(s, _):
+            for _ in range(le - 1):   # static unroll; le is small
+                s = actor_step_fn(s)
             s, m = train_step_fn(s)
             return s, m
-        state, ms = jax.lax.scan(body, state, None, length=n, unroll=unroll)
+        state, ms = jax.lax.scan(body, state, None, length=n // le,
+                                 unroll=unroll)
         return state, jax.tree.map(lambda x: x.mean(axis=0), ms)
 
     if mesh is None:

@@ -58,6 +58,9 @@ def parse_args(argv=None):
     p.add_argument("--noisy", action="store_true",
                    help="NoisyNet layers (exploration by parameter noise; "
                         "disables epsilon-greedy)")
+    p.add_argument("--learn-every", type=int, default=1,
+                   help="actor steps per learner update (Rainbow uses 4; "
+                        "must divide --chunk)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-jsonl", default=None)
     p.add_argument("--ckpt", default=None)
@@ -88,7 +91,7 @@ def main(argv=None):
         prioritized=args.prioritized, per_alpha=args.per_alpha,
         per_beta0=args.per_beta0, distributional=args.distributional,
         num_atoms=args.num_atoms, v_min=args.v_min, v_max=args.v_max,
-        noisy=args.noisy)
+        noisy=args.noisy, learn_every=args.learn_every)
 
     init_fn, _, chunk_fn, _ = make_train(cfg)
     state = init_fn(jax.random.PRNGKey(args.seed))

@@ -117,3 +117,44 @@ def test_dqn_frame_stack():
     assert state.obs.shape == (4, 84, 84, 4)
     assert state.replay.obs.shape == (16, 4, 84 * 84 * 4)  # flattened
     assert np.isfinite(float(metrics["mean_q"]))
+
+
+def test_learn_every_update_ratio():
+    """learn_every=4: 16 actor steps -> 4 learner updates; replay advanced
+    on every actor step; a chunk length not divisible by learn_every is
+    rejected. Trajectories (env interactions) must be unaffected by when the
+    learner runs before learning starts."""
+    def mk(le, learn_starts=32):
+        cfg = DQNConfig(
+            env=EnvConfig(obs_type="ram", auto_reset=True, width=6, height=8),
+            num_envs=8, buffer_capacity=256, learn_batch=16,
+            learn_starts=learn_starts, learn_every=le)
+        return make_train(cfg)
+
+    init_fn, _, chunk_fn, _ = mk(4)
+    state = init_fn(jax.random.PRNGKey(0))
+    state, metrics = jax.jit(lambda s: chunk_fn(s, 16))(state)
+    assert int(state.step) == 16
+    # 4 learner attempts; the first runs at actor step 4 when filled = 4*8
+    # already meets learn_starts=32, so all 4 learn
+    assert int(state.learn_steps) == 4
+    assert int(state.replay.filled_slots) == 16        # insert every actor step
+    with pytest.raises(ValueError):
+        chunk_fn(state, 6)   # 6 % 4 != 0
+
+    # learner gated off entirely: env trajectories identical for le=1 vs le=4
+    init1, _, chunk1, _ = mk(1, learn_starts=1 << 30)
+    init4, _, chunk4, _ = mk(4, learn_starts=1 << 30)
+    s1 = init1(jax.random.PRNGKey(3))
+    s4 = init4(jax.random.PRNGKey(3))
+    s1, _ = jax.jit(lambda s: chunk1(s, 8))(s1)
+    s4, _ = jax.jit(lambda s: chunk4(s, 8))(s4)
+    np.testing.assert_array_equal(np.asarray(s1.env_state.rows),
+                                  np.asarray(s4.env_state.rows))
+    np.testing.assert_array_equal(np.asarray(s1.replay.action),
+                                  np.asarray(s4.replay.action))
+
+
+def test_learn_every_validation():
+    with pytest.raises(ValueError):
+        DQNConfig(learn_every=0)
