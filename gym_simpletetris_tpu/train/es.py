@@ -91,6 +91,22 @@ def es_update(theta, eps, fitness, *, sigma: float, lr: float,
     return (1.0 - lr * weight_decay) * theta + lr * grad, grad
 
 
+def _build_policy(cfg: ESConfig):
+    """(network, unravel, obs_shape, dim) for the ES policy net."""
+    ecfg = cfg.env
+    if ecfg.obs_type == "ram":
+        from ..models.dqn import RamDQN
+        network = RamDQN(hidden=tuple(cfg.hidden))
+    else:
+        network = build_q_network(ecfg.obs_type, None)
+    from ..api import spaces
+    obs_shape = spaces.observation_space(ecfg).shape
+    sample_params = network.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1,) + obs_shape, jnp.float32))
+    theta0, unravel = ravel_pytree(sample_params)
+    return network, unravel, obs_shape, theta0.shape[0]
+
+
 def make_es(cfg: ESConfig, mesh=None):
     """Returns (init_fn, gen_step_fn, network).
 
@@ -100,20 +116,9 @@ def make_es(cfg: ESConfig, mesh=None):
     shards over ``data``.
     """
     ecfg = cfg.env
-    if ecfg.obs_type == "ram":
-        from ..models.dqn import RamDQN
-        network = RamDQN(hidden=tuple(cfg.hidden))
-    else:
-        network = build_q_network(ecfg.obs_type, None)
+    network, unravel, obs_shape, dim = _build_policy(cfg)
     pop, k_env = cfg.pop_size, cfg.envs_per_member
     num_envs = pop * k_env
-
-    from ..api import spaces
-    obs_shape = spaces.observation_space(ecfg).shape
-    sample_params = network.init(jax.random.PRNGKey(0),
-                                 jnp.zeros((1,) + obs_shape, jnp.float32))
-    theta0, unravel = ravel_pytree(sample_params)
-    dim = theta0.shape[0]
 
     def init_fn(key) -> ESState:
         k_net, k_state = jax.random.split(key)
@@ -197,14 +202,8 @@ def train(cfg: ESConfig, generations: int, key=None, log_fn=print):
     return state
 
 
-def greedy_params(cfg: ESConfig, state: ESState):
-    """The trained mean policy as a network param pytree."""
-    _, unravel = ravel_pytree(
-        make_es(cfg)[2].init(jax.random.PRNGKey(0),
-                             jnp.zeros((1,) + _obs_shape(cfg), jnp.float32)))
-    return unravel(state.theta)
-
-
-def _obs_shape(cfg: ESConfig):
-    from ..api import spaces
-    return spaces.observation_space(cfg.env).shape
+def greedy_params(cfg: ESConfig, theta):
+    """Unravel a flat mean-parameter vector (ESState.theta) into the policy
+    network's param pytree (for evaluation / checkpoint loading)."""
+    _, unravel, _, _ = _build_policy(cfg)
+    return unravel(jnp.asarray(theta))

@@ -40,7 +40,8 @@ def evaluate_policy(env: TetrisVectorEnv, action_fn, steps: int, seed: int) -> d
 
 
 def make_action_fn(name: str, cfg: EnvConfig, batch: int, ckpt: str = None,
-                   seed: int = 0, atoms: int = 0, noisy: bool = False):
+                   seed: int = 0, atoms: int = 0, noisy: bool = False,
+                   es_hidden=(64, 64)):
     if name == "random":
         rng = np.random.RandomState(seed)
         return lambda obs, st: jnp.asarray(rng.randint(0, 7, batch))
@@ -63,6 +64,24 @@ def make_action_fn(name: str, cfg: EnvConfig, batch: int, ckpt: str = None,
             logits, _ = net.apply(params, jnp.asarray(obs, jnp.float32))
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return lambda obs, st: act_ppo(obs)
+    if name == "es":
+        if ckpt is None:
+            raise ValueError("--ckpt required for the es policy")
+        from ..train.es import ESConfig, _build_policy, greedy_params
+        from ..utils.checkpoint import restore_checkpoint
+        escfg = ESConfig(env=cfg, hidden=tuple(es_hidden))
+        tree = restore_checkpoint(ckpt)
+        theta = tree["theta"] if isinstance(tree, dict) else tree.theta
+        params = greedy_params(escfg, theta)
+        net = _build_policy(escfg)[0]
+
+        @jax.jit
+        def act_es(obs):
+            scores = net.apply(params, jnp.asarray(obs, jnp.float32))
+            if scores.ndim == 3:
+                scores = scores.mean(axis=-1)
+            return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        return lambda obs, st: act_es(obs)
     if name == "dqn":
         if ckpt is None:
             raise ValueError("--ckpt required for the dqn policy")
@@ -107,6 +126,8 @@ def main(argv=None):
     p.add_argument("--noisy", action="store_true",
                    help="the dqn checkpoint has NoisyNet layers (evaluated "
                         "deterministically with the mu weights)")
+    p.add_argument("--es-hidden", type=int, nargs="+", default=[64, 64],
+                   help="hidden widths of an es checkpoint's policy MLP")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -116,7 +137,8 @@ def main(argv=None):
     results = {}
     for name in args.policies:
         fn = make_action_fn(name, cfg, args.num_envs, args.ckpt, args.seed,
-                            atoms=args.atoms, noisy=args.noisy)
+                            atoms=args.atoms, noisy=args.noisy,
+                            es_hidden=tuple(args.es_hidden))
         results[name] = evaluate_policy(env, fn, args.steps, args.seed)
         print(json.dumps({name: results[name]}), flush=True)
     return results

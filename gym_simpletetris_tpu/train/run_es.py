@@ -34,6 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--hidden", type=int, nargs="+", default=[64, 64])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-jsonl", default=None)
+    p.add_argument("--ckpt", default=None,
+                   help="save the final ESState here (orbax); evaluate with "
+                        "`evaluate --policies es --ckpt ... --es-hidden ...`")
     return p.parse_args(argv)
 
 
@@ -59,6 +62,9 @@ def main(argv=None):
     try:
         state = train(cfg, args.generations, key=jax.random.PRNGKey(args.seed),
                       log_fn=log)
+        if args.ckpt:
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(args.ckpt, state)
     finally:
         if sink:
             sink.close()

@@ -135,3 +135,19 @@ def test_es_mesh_runs():
     s2, m2 = jax.jit(g2)(s2)
     np.testing.assert_allclose(np.asarray(state.theta), np.asarray(s2.theta),
                                atol=1e-6)
+
+
+def test_es_ckpt_and_evaluate_cli(tmp_path):
+    """run_es --ckpt then evaluate --policies es loads and acts greedily."""
+    from gym_simpletetris_tpu.train import run_es
+    from gym_simpletetris_tpu.train import evaluate as ev
+    ck = str(tmp_path / "es_ck")
+    state = run_es.main(["--width", "6", "--height", "8", "--pop", "8",
+                         "--envs-per-member", "2", "--horizon", "16",
+                         "--generations", "2", "--hidden", "16",
+                         "--ckpt", ck, "--seed", "0"])
+    assert int(state.generation) == 2
+    res = ev.main(["--policies", "es", "--width", "6", "--height", "8",
+                   "--num-envs", "8", "--steps", "40", "--ckpt", ck,
+                   "--es-hidden", "16"])
+    assert "es" in res and res["es"]["total_deaths"] >= 0
