@@ -28,6 +28,10 @@ import os, sys
 pid, nproc, port, outdir = (sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4])
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+# NOTE: deliberately NO JAX_COMPILATION_CACHE_DIR here — sharing the
+# persistent compile cache between concurrent multi-controller workers was
+# measured to stall them past the subprocess timeout (cache-write
+# coordination), where the uncached run takes ~20 s.
 sys.path.insert(0, %(repo)r)
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -73,7 +77,8 @@ def test_two_process_sharded_rollout_bitwise(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS",
+                        "JAX_COMPILATION_CACHE_DIR")}
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(pid), "2", str(port), str(tmp_path)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
@@ -123,6 +128,10 @@ import os, sys
 pid, nproc, port, outdir = (sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4])
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+# NOTE: deliberately NO JAX_COMPILATION_CACHE_DIR here — sharing the
+# persistent compile cache between concurrent multi-controller workers was
+# measured to stall them past the subprocess timeout (cache-write
+# coordination), where the uncached run takes ~20 s.
 sys.path.insert(0, %(repo)r)
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -169,7 +178,8 @@ def test_two_process_dqn_train_step(tmp_path):
     script = tmp_path / "learner_worker.py"
     script.write_text(LEARNER_WORKER)
     env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS",
+                        "JAX_COMPILATION_CACHE_DIR")}
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(pid), "2", str(port), str(tmp_path)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)

@@ -158,3 +158,29 @@ def test_learn_every_update_ratio():
 def test_learn_every_validation():
     with pytest.raises(ValueError):
         DQNConfig(learn_every=0)
+
+
+def test_learn_every_reduces_compiled_flops():
+    """CPU perf canary: actor-only steps must not carry the gradient graph.
+
+    XLA's cost_analysis counts a scan body ONCE (not times the trip count),
+    so compare per-body: learn_every=4's body (3 actor-only + 1 full step)
+    must cost barely more than learn_every=1's body (1 full step) — i.e.,
+    3 actor steps together well under one learner's worth of FLOPs. If the
+    actor steps ever pick up the grad graph, the le=4 body jumps toward 4x."""
+    from functools import partial
+
+    def body_flops(le):
+        cfg = DQNConfig(
+            env=EnvConfig(obs_type="ram", auto_reset=True, width=6, height=8),
+            num_envs=8, buffer_capacity=256, learn_batch=64,
+            learn_starts=64, learn_every=le)
+        init_fn, _, chunk_fn, _ = make_train(cfg)
+        state = init_fn(jax.random.PRNGKey(0))
+        comp = jax.jit(partial(chunk_fn, n=8)).lower(state).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca["flops"])
+
+    f1, f4 = body_flops(1), body_flops(4)
+    assert f4 < 1.5 * f1, (f1, f4)   # measured ~1.07x; grad graph would be ~4x
