@@ -27,15 +27,16 @@ from .core.state import EnvState, init_state
 from .core.pieces import PIECE_NAMES
 from .api.env import TetrisVectorEnv, step_fn, reset_fn, build_observation
 from .api.gym_compat import TetrisEnv
+from .api.engine import TetrisEngine, convert_grayscale, convert_grayscale_rgb
 from .api.registry import make, register, register_gym, register_gymnasium
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "EnvConfig", "EnvState", "init_state", "PIECE_NAMES",
-    "TetrisVectorEnv", "TetrisEnv", "step_fn", "reset_fn",
-    "build_observation", "make", "register", "register_gym",
-    "register_gymnasium",
+    "TetrisVectorEnv", "TetrisEnv", "TetrisEngine", "step_fn", "reset_fn",
+    "build_observation", "convert_grayscale", "convert_grayscale_rgb",
+    "make", "register", "register_gym", "register_gymnasium",
     "NativeTetrisEnv", "NativeVectorEnv", "NativeTetrisEngine",
     "__version__",
 ]

@@ -214,7 +214,7 @@ class TetrisEnv:
         uint8 {0,128,190} image for grayscale/rgb) exactly like the
         reference — the float32 cast there happens in step/reset, not here.
         """
-        from ..ops.raster import build_raster_maps
+        from .engine import convert_grayscale, convert_grayscale_rgb
         obs = state
         if obs is None:
             obs = self._board().astype(float)
@@ -224,24 +224,15 @@ class TetrisEnv:
             extend = self.extend_dims if extend_dims is None else extend_dims
             return (np.reshape(obs, (self.width, self.height, 1))
                     if extend else obs)
-        # convert_grayscale semantics incl. its value pass-through quirk:
-        # the board is uint8-cast, then 0 -> 128, 1 -> 190, and any OTHER
-        # value becomes that pixel shade verbatim (tetris_env.py:81, 97-98 —
-        # only 0 and 1 are remapped). Engine boards are 0/1; this matters for
-        # user-supplied ``state=`` arrays only.
-        h, w = self.height, self.width
-        base, cellmap = build_raster_maps(h, w, 84)
-        vals = np.asarray(obs, np.uint8).T                # (H, W), like :82
-        shades = np.where(vals == 0, np.uint8(128),
-                          np.where(vals == 1, np.uint8(190), vals))
-        flat = np.append(shades.reshape(-1), np.uint8(0))
-        img = np.where(cellmap < 0, base,
-                       flat[np.where(cellmap < 0, h * w, cellmap)])
-        img = img.astype(np.uint8)
+        # the public convert_grayscale carries the value pass-through quirk
+        # (tetris_env.py:81, 96-97: only 0 and 1 are remapped; any other value
+        # becomes that pixel shade verbatim) — it matters for user-supplied
+        # ``state=`` arrays only, engine boards are 0/1.
+        img = convert_grayscale(obs, 84)
         if new_mode == "grayscale":
             extend = self.extend_dims if extend_dims is None else extend_dims
             return np.reshape(img, (84, 84, 1)) if extend else img
-        return np.repeat(img[..., None], 3, axis=-1)
+        return convert_grayscale_rgb(img)
 
     @property
     def engine(self):
@@ -290,7 +281,18 @@ class TetrisEnv:
             pygame.display.update()
             self.clock.tick(self.metadata["render_fps"])
             return None
-        raise NotImplementedError(mode)
+        # unknown mode: the reference falls through to gym.Env.render
+        # (tetris_env.py:463-464), which in the old gym API raises
+        # NotImplementedError itself — delegate when gym is importable,
+        # reproduce its behavior when it isn't.
+        try:
+            import gym
+        except ImportError:
+            raise NotImplementedError(mode)
+        try:
+            return gym.Env.render(self, mode=mode)
+        except TypeError:      # newer gym dropped the mode parameter
+            return gym.Env.render(self)
 
     def close(self):
         # the reference just `del self.engine` and leaks the window (:466-467);
