@@ -81,7 +81,7 @@ class EnvConfig:
         if self.obs_type not in OBS_TYPES:
             raise ValueError(f"obs_type={self.obs_type!r} not in {OBS_TYPES}")
         if self.raster_impl not in ("auto", "matmul", "gather", "bcast", "sep",
-                                    "pallas"):
+                                    "sepb", "pallas"):
             raise ValueError(f"raster_impl={self.raster_impl!r}")
         if self.obs_dtype not in ("float32", "uint8"):
             raise ValueError(f"obs_dtype={self.obs_dtype!r}")

@@ -209,6 +209,55 @@ def rasterize_sep(cells: jnp.ndarray, d0: int, d1: int, size: int) -> jnp.ndarra
     return u.astype(jnp.uint8)
 
 
+@lru_cache(maxsize=64)
+def _sepb_operands(d0: int, d1: int, size: int):
+    """Column-expansion operand with the shade affine folded in:
+    ``A1[d1+1, size]`` where rows 0..d1-1 carry 62 * the 0/1 column expansion
+    and row d1 carries the background term 128*inb1 — so for an augmented
+    cell row ``[cells_i, 1]``, ``[cells_i, 1] @ A1`` is exactly the finished
+    image row of cell row i (bg 128 inside the inner grid, +62 on occupied
+    cell pixels, border 0 outside). Also returns that background ("gap") row
+    itself — the image row at every inner gap position."""
+    gap, block, inner0, inner1, pad0, pad1 = raster_geometry(d0, d1, size)
+    a1 = _axis_cells(d1, size, gap, block, inner1, pad1)
+    op = np.zeros((d1 + 1, size), np.float32)
+    op[:d1] = (PIECE_SHADE - BACKGROUND_SHADE) * \
+        (a1[None, :] == np.arange(d1)[:, None])
+    op[d1] = BACKGROUND_SHADE * (a1 != -2)
+    return op, op[d1].copy()
+
+
+def rasterize_sepb(cells: jnp.ndarray, d0: int, d1: int, size: int) -> jnp.ndarray:
+    """cells: [B, d0, d1] (0/1) -> uint8 [B, size, size]: separable columns /
+    broadcast rows.
+
+    The row expansion of the separable raster is a 0/1 selection — every pixel
+    row of cell row i is the SAME vector ``t_i`` (and every gap row the same
+    constant) — so the second matmul of ``rasterize_sep`` is replaced by pure
+    broadcasts: one tiny MXU dot ``[B, d0, d1+1] @ [d1+1, size]`` produces the
+    d0 distinct image rows, and broadcast/concat/pad assemble the image. This
+    removes the [B, size, size] bf16 dot *output* of the sep path (too large
+    for VMEM at B=4096 — a full HBM write+read per step); only [B, d0, size]
+    leaves the MXU. Exact: all values are integers <= 190, exact in bf16.
+    """
+    gap, block, inner0, inner1, pad0, pad1 = raster_geometry(d0, d1, size)
+    op, gap_row = _sepb_operands(d0, d1, size)
+    b = cells.shape[0]
+    cp = jnp.concatenate([cells.astype(jnp.bfloat16),
+                          jnp.ones((b, d0, 1), jnp.bfloat16)], axis=2)
+    t = jnp.einsum("bhw,wq->bhq", cp, jnp.asarray(op, jnp.bfloat16),
+                   preferred_element_type=jnp.bfloat16)    # [B, d0, size]
+    grow = jnp.asarray(gap_row, jnp.bfloat16)
+    blk = jnp.broadcast_to(t[:, :, None, :], (b, d0, block, size))
+    gaps = jnp.broadcast_to(grow, (b, d0, gap, size))
+    x = jnp.concatenate([blk, gaps], axis=2).reshape(b, d0 * (block + gap),
+                                                     size)
+    lead = jnp.broadcast_to(grow, (b, gap, size))
+    x = jnp.concatenate([lead, x], axis=1)                 # [B, inner0, size]
+    x = jnp.pad(x, ((0, 0), (pad0, size - pad0 - inner0), (0, 0)))
+    return x.astype(jnp.uint8)
+
+
 def rasterize_gather(cells: jnp.ndarray, d0: int, d1: int, size: int) -> jnp.ndarray:
     """cells: [B, d0, d1] -> uint8 [B, size, size] via one static-index gather."""
     base, cell = build_raster_maps(d0, d1, size)
@@ -234,6 +283,8 @@ def rasterize(cells: jnp.ndarray, d0: int, d1: int, size: int,
         return rasterize_bcast(cells, d0, d1, size)
     if impl == "sep":
         return rasterize_sep(cells, d0, d1, size)
+    if impl == "sepb":
+        return rasterize_sepb(cells, d0, d1, size)
     raise ValueError(f"unknown raster impl {impl!r}")
 
 

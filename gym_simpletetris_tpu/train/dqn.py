@@ -339,14 +339,7 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
                               window=window)
         return state, (k_sample, k_nlearn, reward, done)
 
-    def actor_step_fn(state: DQNState):
-        """Actor-only step (used between learner updates when
-        ``learn_every > 1`` — the gradient graph is never built)."""
-        state, _ = _actor_half(state)
-        return state
-
-    def train_step_fn(state: DQNState):
-        state, (k_sample, k_nlearn, reward, done) = _actor_half(state)
+    def _learner_half(state: DQNState, k_sample, k_nlearn, reward, done):
         replay = state.replay
 
         # -- learner: one TD step once the buffer has warmed up -----------------
@@ -400,25 +393,46 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
             replay=replay, learn_steps=learn_steps)
         return new_state, metrics
 
+    def train_step_fn(state: DQNState):
+        state, (k_sample, k_nlearn, reward, done) = _actor_half(state)
+        return _learner_half(state, k_sample, k_nlearn, reward, done)
+
     def train_chunk_fn(state: DQNState, n: int, unroll: int = 1):
         """``n`` actor steps; one learner update per ``cfg.learn_every`` of
-        them (the scan body is learn_every-1 actor-only steps + 1 full step,
-        so skipped updates never build their gradient graph). ``unroll``
-        forwards to lax.scan (unroll=4 measured +4% at 2.5x compile time on
-        v5e — opt-in, unlike the env rollout's default)."""
+        them. The scan body is one actor step followed by the learner half
+        under ``lax.cond`` — a single flat scan whose compiled footprint is
+        learn_every-independent, with skipped learner updates never executed
+        at runtime. (Two earlier structures both failed on v5e: statically
+        unrolling le-1 actor steps VMEM-spilled at le=8 — 60k vs 234k
+        env-steps/s — and a nested actor-only lax.scan paid a fixed
+        carry-boundary cost per outer iteration that only amortized at
+        le >= 16; see BENCH_LOCAL.md round-3 sweep.) ``unroll`` forwards to
+        lax.scan (unroll=4 measured +4% at 2.5x compile time on v5e —
+        opt-in, unlike the env rollout's default)."""
         le = cfg.learn_every
         if n % le:
             raise ValueError(f"chunk length {n} must be a multiple of "
                              f"learn_every={le}")
 
-        def body(s, _):
-            for _ in range(le - 1):   # static unroll; le is small
-                s = actor_step_fn(s)
-            s, m = train_step_fn(s)
-            return s, m
-        state, ms = jax.lax.scan(body, state, None, length=n // le,
-                                 unroll=unroll)
-        return state, jax.tree.map(lambda x: x.mean(axis=0), ms)
+        def body(s, do_learn):
+            s, (k_sample, k_nlearn, reward, done) = _actor_half(s)
+            if le == 1:
+                return _learner_half(s, k_sample, k_nlearn, reward, done)
+            zeros = jax.tree.map(
+                jnp.zeros_like,
+                jax.eval_shape(_learner_half, s, k_sample, k_nlearn,
+                               reward, done)[1])
+            return jax.lax.cond(
+                do_learn, _learner_half,
+                lambda st, *_: (st, zeros),
+                s, k_sample, k_nlearn, reward, done)
+
+        flags = (jnp.arange(n, dtype=jnp.int32) % le) == (le - 1)
+        state, ms = jax.lax.scan(body, state, flags, unroll=unroll)
+        # metrics are emitted only on learner steps: mean over those
+        state_out, metrics = state, jax.tree.map(
+            lambda x: x.sum(axis=0) / (n // le), ms)
+        return state_out, metrics
 
     if mesh is None:
         return init_fn, train_step_fn, train_chunk_fn, network

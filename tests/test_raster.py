@@ -7,10 +7,13 @@ import jax.numpy as jnp
 
 from reference_oracle import load_reference_module, reference_available
 from gym_simpletetris_tpu.ops.raster import (
-    rasterize_matmul, rasterize_gather, grayscale_to_rgb, raster_geometry)
+    rasterize, rasterize_matmul, rasterize_gather, grayscale_to_rgb,
+    raster_geometry)
 
 pytestmark = pytest.mark.skipif(
     not reference_available(), reason="reference repo not mounted")
+
+ALL_IMPLS = ("matmul", "gather", "bcast", "sep", "sepb")
 
 
 def _random_boards(w, h, n, seed):
@@ -28,12 +31,13 @@ def test_grayscale_pixel_parity(w, h, size):
     # obs path: reference transposes internally, so image rows index board y;
     # our packed rows unpack to [B, H, W] == the post-transpose array.
     cells = jnp.asarray(boards.transpose(0, 2, 1))  # [B, H, W]
-    got_m = np.asarray(rasterize_matmul(cells, h, w, size))
-    got_g = np.asarray(rasterize_gather(cells, h, w, size))
+    got = {impl: np.asarray(rasterize(cells, h, w, size, impl=impl))
+           for impl in ALL_IMPLS}
     for i in range(boards.shape[0]):
         want = mod.convert_grayscale(boards[i], size)
-        np.testing.assert_array_equal(got_m[i], want)
-        np.testing.assert_array_equal(got_g[i], want)
+        for impl, g in got.items():
+            np.testing.assert_array_equal(
+                g[i], want, err_msg=f"impl={impl} ({w}x{h}@{size})")
 
 
 def test_rgb_parity():
