@@ -51,7 +51,11 @@ REF_BASELINE = {"ram": 22_500.0, "grayscale": 4_600.0, "rgb": 3_700.0}
 
 def bench_one(obs_type: str, batch: int, steps: int, chunk: int, impl: str,
               acc_mode: str, profile_dir: str | None = None) -> dict:
-    cfg = EnvConfig(obs_type=obs_type, auto_reset=True, raster_impl=impl)
+    # "pallas_acc": fused raster+accumulate kernel in the rollout
+    # (ops/pallas_raster.raster_accumulate); the per-obs raster stays "sep"
+    fused_acc = impl == "pallas_acc" and obs_type != "ram"
+    cfg_impl = "sep" if impl == "pallas_acc" else impl
+    cfg = EnvConfig(obs_type=obs_type, auto_reset=True, raster_impl=cfg_impl)
     env = TetrisVectorEnv(cfg, batch_size=batch)
     key = jax.random.PRNGKey(0)
     obs, state = env.reset(key)
@@ -65,7 +69,9 @@ def bench_one(obs_type: str, batch: int, steps: int, chunk: int, impl: str,
     # warmup calls: the first compiles; the next absorb first-dispatch
     # lazy-path costs that otherwise pollute a short timed region.
     for _ in range(3):
-        state_w, acc, rew, done = env.rollout(state, actions, acc_mode=acc_mode)
+        state_w, acc, rew, done = env.rollout(state, actions,
+                                              acc_mode=acc_mode,
+                                              fused_acc=fused_acc)
     np.asarray(rew[-1, :1])
 
     if profile_dir:
@@ -81,7 +87,8 @@ def bench_one(obs_type: str, batch: int, steps: int, chunk: int, impl: str,
         total_done = jnp.zeros((), jnp.int32)
         for i in range(n_chunks):
             state, acc, rew, done = env.rollout(state, actions,
-                                                acc_mode=acc_mode)
+                                                acc_mode=acc_mode,
+                                                fused_acc=fused_acc)
             total_done = total_done + done.sum()
         total_done_host = int(np.asarray(total_done))  # host fetch = barrier
         dt = time.perf_counter() - t0
@@ -116,11 +123,13 @@ def main():
     ap.add_argument("--steps", type=int, default=16384)
     ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--impl", default="auto",
-                    choices=["auto", "sep", "bcast", "matmul", "gather",
-                             "pallas"])
+                    choices=["auto", "sep", "sepb", "bcast", "matmul",
+                             "gather", "pallas", "pallas_acc"])
     ap.add_argument("--acc", default="storage",
                     choices=["storage", "delivered"])
     ap.add_argument("--profile-dir", default=None)
+    ap.add_argument("--no-delivered", action="store_true",
+                    help="skip the two delivered-f32 materialization lines")
     ap.add_argument("--all", action="store_true",
                     help="(default behavior; kept for compatibility)")
     args = ap.parse_args()
@@ -132,6 +141,17 @@ def main():
                           args.impl, args.acc)
             results[obs_type] = r
             print(json.dumps(r), file=sys.stderr, flush=True)
+        if not args.no_delivered:
+            # the fully-materialized float32 image observations (the
+            # conservative round-1 measurement shape): a user who pulls f32
+            # images to host/numpy pays this path — reported in the driver
+            # artifact so the cost of materialization stays pinned
+            for obs_type in ("grayscale", "rgb"):
+                r = bench_one(obs_type, args.batch,
+                              max(args.chunk, args.steps // 4), args.chunk,
+                              args.impl, "delivered")
+                r["metric"] += "_delivered_f32"
+                print(json.dumps(r), file=sys.stderr, flush=True)
         headline = results["ram"]
     else:
         headline = bench_one(args.obs, args.batch, args.steps, args.chunk,

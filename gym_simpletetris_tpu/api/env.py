@@ -184,7 +184,7 @@ def make_info(state: EnvState) -> dict:
 
 def build_rollout(cfg: EnvConfig, batch_size: int, obs_shape=None,
                   with_obs: bool = True, acc_mode: str = "storage",
-                  unroll: int = 4):
+                  unroll: int = 4, fused_acc: bool = False):
     """Scan-fused multi-step rollout builder shared by the local and sharded
     envs. Returns a function (state, actions[T, B]) ->
     (final_state, obs_acc, reward[T, B], done[T, B]).
@@ -207,7 +207,14 @@ def build_rollout(cfg: EnvConfig, batch_size: int, obs_shape=None,
     acc_mode="delivered" (defaults to the delivered space shape). ``unroll``
     is forwarded to ``lax.scan`` (4 measured +22% ram / +8% image throughput
     on v5e: fewer loop-bookkeeping bubbles between fused step kernels).
+    ``fused_acc`` (image obs + storage acc only) folds the raster INTO the
+    accumulate with one Pallas kernel per step (``ops.pallas_raster.
+    raster_accumulate``) — bitwise the same accumulator, without the
+    [B, size, size] bf16 raster intermediate's HBM round-trip.
     """
+    if fused_acc and (cfg.obs_type == "ram" or acc_mode != "storage"
+                      or not with_obs):
+        raise ValueError("fused_acc requires image obs + storage acc_mode")
 
     def rollout(s, acts):
         def body(carry, a):
@@ -222,7 +229,11 @@ def build_rollout(cfg: EnvConfig, batch_size: int, obs_shape=None,
                 if cfg.auto_reset:
                     st, emitted = apply_reset_mask(cfg, st, emitted, out.done)
                 if with_obs:
-                    acc = acc + build_observation_storage(cfg, emitted)
+                    if fused_acc:
+                        from ..ops.pallas_raster import raster_accumulate
+                        acc = raster_accumulate(cfg, emitted, acc)
+                    else:
+                        acc = acc + build_observation_storage(cfg, emitted)
                 return (st, acc), (out.reward, out.done)
             obs, st, r, d, _ = step_fn(cfg, st, a)
             if with_obs:
@@ -298,7 +309,8 @@ class TetrisVectorEnv:
         return self._vac(state)
 
     def rollout(self, state: EnvState, actions: jnp.ndarray,
-                with_obs: bool = True, acc_mode: str = "storage"):
+                with_obs: bool = True, acc_mode: str = "storage",
+                fused_acc: bool = False):
         """Scan ``T`` pre-chosen action batches: actions int32[T, B].
 
         Returns (final_state, obs_acc, reward[T, B], done[T, B]).
@@ -313,10 +325,11 @@ class TetrisVectorEnv:
         """
         cfg = self.config
 
-        fn = self._rollout_jit.get((with_obs, acc_mode))
+        fn = self._rollout_jit.get((with_obs, acc_mode, fused_acc))
         if fn is None:
             fn = jax.jit(build_rollout(cfg, self.batch_size,
                                        self.observation_space.shape, with_obs,
-                                       acc_mode=acc_mode))
-            self._rollout_jit[(with_obs, acc_mode)] = fn
+                                       acc_mode=acc_mode,
+                                       fused_acc=fused_acc))
+            self._rollout_jit[(with_obs, acc_mode, fused_acc)] = fn
         return fn(state, jnp.asarray(actions))

@@ -62,8 +62,10 @@ class EnvConfig:
                                  # BENCH_LOCAL.md round-2 sweep
     obs_dtype: str = "float32"   # "float32" (reference parity, :400) | "uint8"
                                  # (native palette, 4x less HBM traffic)
-    step_impl: str = "xla"       # "xla" | "pallas" (fused transition kernel;
-                                 # requires batch % 128 == 0 on real TPU)
+    step_impl: str = "xla"       # "xla" | "pallas" (reference fused-transition
+                                 # kernel, DEMOTED round 3: ties-or-loses vs
+                                 # XLA in-scan, width <= 24 only; requires
+                                 # batch % 128 == 0 on real TPU)
 
     def __post_init__(self):
         if not (2 <= self.width <= MAX_WIDTH):

@@ -1,11 +1,19 @@
 """Fused Pallas TPU kernel for the entire engine transition.
 
-Motivation (measured on v5e): the XLA step is HBM-bandwidth-bound — ~60
-materialized ``[H, B]``/``[.., B]`` intermediates round-trip ~40MB of HBM per
-batched step. This kernel keeps the whole transition in VMEM: one grid step
-processes a lane-tile of the env batch, reading each state array once and
-writing each output once. Everything else (masks, windows, collision profiles,
-compaction routing) lives and dies on-chip.
+STATUS (round 3): **demoted to a reference kernel** — opt-in via
+``step_impl="pallas"``, scope frozen at single-word boards (width <= 24).
+Its original motivation (HBM round-trips between the step's sub-ops) was
+absorbed by the scan-fused rollout, and the in-scan re-measurement at B=4096
+has it tie-or-lose vs plain XLA: 145.6M vs 150.2M env-steps/s engine-only,
+144.1M vs 146.3M with ram obs (quiet v5e, BENCH_LOCAL.md round 3). It stays
+in-tree as the demonstration of a full branchless game transition in one
+Mosaic kernel; bit-identity with ``core.engine`` holds without maintenance
+because the engine's semantics are pinned by the upstream reference.
+
+Original design (still accurate as a description of the kernel): one grid
+step processes a lane-tile of the env batch, reading each state array once
+and writing each output once; masks, windows, collision profiles and
+compaction routing live and die on-chip.
 
 Semantics are **identical** to ``core.engine.engine_step`` (which is itself
 bitwise-parity-verified against the reference ``tetris_env.py:243-304``); the

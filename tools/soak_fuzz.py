@@ -14,6 +14,16 @@ carry-over paths):
   drop-heavy  ~43% hard drops: a lock every ~2 steps, constant respawn churn
   rotate-drop rotate/hard-drop mix: exercises rotated masks at lock time
   stack-clear soft-drop + laterals: builds dense rows, maximizes line clears
+  ledge-slide rest/slide/rest sequences under FORCED lock_delay 1..8 (the
+              config's lock_delay/step_reset are overridden): stale-lock-
+              counter wraps when a rested piece slides off a ledge and falls
+  spawn-overlap drop-heavy on FORCED 4..5-wide boards: the spawn-overlap
+              erase quirk fires constantly (piece spawns inside the stack)
+
+Round-3 addition: ``--pixels`` also compares the rendered 84x84 grayscale
+observation of EVERY step (uint8, pixel-exact) against the host raster of the
+oracle's boards — an obs-level soak on top of the engine-state one (widths/
+heights capped at 40 so the boards fit the 84px geometry).
 
 The CI fuzz (tests/test_native_oracle.py) covers a fixed 10-config matrix;
 this tool covers the combinatorial space at soak depth.
@@ -21,6 +31,7 @@ this tool covers the combinatorial space at soak depth.
 Usage: python tools/soak_fuzz.py [--configs 30] [--batch 64] [--steps 1024]
                                  [--seed 0] [--cpu] [--max-width 56]
                                  [--max-height 64] [--max-lock-delay 8]
+                                 [--pixels]
 """
 
 from __future__ import annotations
@@ -45,7 +56,13 @@ def main():
                     help="widths 4..N; >24 exercises multi-word packed rows")
     ap.add_argument("--max-height", type=int, default=64)
     ap.add_argument("--max-lock-delay", type=int, default=8)
+    ap.add_argument("--pixels", action="store_true",
+                    help="also compare the 84x84 grayscale obs of every step "
+                         "(uint8, pixel-exact); caps width/height at 40")
     args = ap.parse_args()
+    if args.pixels:
+        args.max_width = min(args.max_width, 40)
+        args.max_height = min(args.max_height, 40)
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -72,6 +89,13 @@ def main():
         "drop-heavy": [0, 1, 2, 2, 2, 4, 5],
         "rotate-drop": [2, 4, 5, 4, 5, 2, 3],
         "stack-clear": [3, 3, 3, 0, 1, 2, 6],
+        # rest (idle/soft) -> lateral slide -> rest again: wraps stale lock
+        # counters when the piece slides off a ledge (tetris_env.py:248-260,
+        # the step_reset=False stale-counter quirk); needs lock_delay >= 1
+        "ledge-slide": [6, 6, 3, 0, 0, 1, 1, 6, 3, 2],
+        # constant hard drops on a 4-5-wide board: the new piece spawns inside
+        # the stack almost every lock -> spawn-overlap erase quirk (:303)
+        "spawn-overlap": [2, 2, 2, 2, 0, 1, 4],
     }
 
     rng = np.random.RandomState(args.seed)
@@ -94,6 +118,14 @@ def main():
             penalise_holes_increase=bool(rng.randint(2)),
         )
         script = list(SCRIPTS)[int(rng.randint(len(SCRIPTS)))]
+        if script == "ledge-slide":
+            # the stale-counter path only exists with a nonzero lock delay
+            cfg = cfg.replace(
+                lock_delay=int(rng.randint(1, args.max_lock_delay + 1)),
+                step_reset=bool(rng.randint(2)))
+        elif script == "spawn-overlap":
+            cfg = cfg.replace(width=int(rng.randint(4, 6)),
+                              height=int(rng.randint(5, 10)))
         menu = SCRIPTS[script]
         if menu is None:
             actions = rng.randint(0, 7, size=(T, B)).astype(np.int32)
@@ -133,6 +165,24 @@ def main():
         np.testing.assert_array_equal(np.asarray(fs.deaths), out["deaths"])
         np.testing.assert_array_equal(np.asarray(fs.shape_counts).T,
                                       out["counts"])
+        if args.pixels:
+            # obs-level: the rendered 84x84 grayscale uint8 image of EVERY
+            # step, via the device raster (build_observation_storage) vs the
+            # host raster of the oracle's boards — chunked over T for memory
+            from gym_simpletetris_tpu.api.env import build_observation_storage
+            from gym_simpletetris_tpu.ops.raster import rasterize_host_batch
+            img_fn = jax.jit(jax.vmap(
+                lambda e: build_observation_storage(
+                    cfg.replace(obs_type="grayscale"), e)))
+            oboards = np.transpose(out["boards"], (1, 0, 3, 2))  # [T,B,H,W]
+            ck = max(1, (1 << 24) // (B * 84 * 84))
+            for t0c in range(0, T, ck):
+                imgs = np.asarray(img_fn(em[t0c:t0c + ck]))
+                want = rasterize_host_batch(
+                    oboards[t0c:t0c + ck].reshape(-1, cfg.height, cfg.width),
+                    cfg.height, cfg.width, 84).reshape(imgs.shape)
+                np.testing.assert_array_equal(imgs, want,
+                                              err_msg=f"pixels cfg={cfg}")
         total += B * T
         print(f"[{ci+1}/{args.configs}] w{cfg.width} h{cfg.height} "
               f"ld{cfg.lock_delay} {script:11s} flags="
