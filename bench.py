@@ -141,6 +141,13 @@ def main():
                           args.impl, args.acc)
             results[obs_type] = r
             print(json.dumps(r), file=sys.stderr, flush=True)
+        if args.batch == 4096:
+            # single-chip ram record config (round-3 batch sweep found the
+            # throughput peak at B=16384, +12% over the B=4096 headline);
+            # reported on stderr so the record is driver-captured
+            r = bench_one("ram", 16384, args.steps, args.chunk, args.impl,
+                          args.acc)
+            print(json.dumps(r), file=sys.stderr, flush=True)
         if not args.no_delivered:
             # the fully-materialized float32 image observations (the
             # conservative round-1 measurement shape): a user who pulls f32
