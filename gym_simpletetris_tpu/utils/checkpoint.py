@@ -29,9 +29,18 @@ def save_checkpoint(path: str, tree: Any) -> str:
 
 def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     """Restore a pytree saved by :func:`save_checkpoint`. Passing ``target``
-    (a matching pytree of arrays) restores with its exact structure/dtypes."""
+    (a matching pytree of arrays) restores with its exact structure/dtypes
+    AND its shardings — so a state saved on one mesh shape restores cleanly
+    onto a different mesh (or the unsharded host): pass a structure donor
+    born on the destination topology (e.g. ``init_fn(key)`` from the
+    mesh-aware ``make_train``) and each leaf lands with the donor's layout
+    instead of the topology recorded in the checkpoint file
+    (tests/test_checkpoint_topology.py)."""
     path = os.path.abspath(path)
     if target is None:
         return _ckptr().restore(path)
     import orbax.checkpoint as ocp
-    return _ckptr().restore(path, args=ocp.args.PyTreeRestore(item=target))
+    restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+    return _ckptr().restore(
+        path, args=ocp.args.PyTreeRestore(item=target,
+                                          restore_args=restore_args))
