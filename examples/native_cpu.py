@@ -15,6 +15,9 @@ import time
 
 import numpy as np
 
+# GST_EXAMPLE_SMOKE=1 shrinks the run for the test suite
+_SMOKE = bool(_os.environ.get("GST_EXAMPLE_SMOKE"))
+
 from gym_simpletetris_tpu import make, NativeVectorEnv
 from gym_simpletetris_tpu.native import NativeTetrisEngine
 
@@ -40,7 +43,7 @@ venv = NativeVectorEnv(batch_size=256, obs_type="ram", auto_reset=True,
                        seed=1, with_info=True)
 venv.reset()
 t0 = time.perf_counter()
-steps = 2000
+steps = 100 if _SMOKE else 2000
 for _ in range(steps):
     obs, rew, done, info = venv.step(rng.randint(0, 7, 256))
 dt = time.perf_counter() - t0
@@ -50,7 +53,7 @@ print(f"\nNativeVectorEnv: {steps * 256 / dt / 1e6:.2f}M env-steps/s "
 # -- 3. bulk rollouts (checkpointable) ----------------------------------------
 eng = NativeTetrisEngine(seed=2)
 eng.clear()
-actions = rng.randint(0, 7, 1_000_000).astype(np.int32)
+actions = rng.randint(0, 7, 50_000 if _SMOKE else 1_000_000).astype(np.int32)
 t0 = time.perf_counter()
 boards, rewards, dones, _, _ = eng.drive(actions, auto_clear=True)
 dt = time.perf_counter() - t0

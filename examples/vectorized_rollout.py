@@ -8,9 +8,13 @@ import numpy as np
 
 from gym_simpletetris_tpu import EnvConfig, TetrisVectorEnv
 
-env = TetrisVectorEnv(EnvConfig(obs_type="ram", auto_reset=True), 4096)
+# GST_EXAMPLE_SMOKE=1 shrinks the run for the test suite
+SMOKE = bool(_os.environ.get("GST_EXAMPLE_SMOKE"))
+B, T = (256, 64) if SMOKE else (4096, 512)
+
+env = TetrisVectorEnv(EnvConfig(obs_type="ram", auto_reset=True), B)
 obs, state = env.reset(jax.random.PRNGKey(0))
-actions = jax.random.randint(jax.random.PRNGKey(1), (512, 4096), 0, 7)
+actions = jax.random.randint(jax.random.PRNGKey(1), (T, B), 0, 7)
 
 import time
 final, acc, rew, done = env.rollout(state, actions)   # compile + warmup
@@ -19,5 +23,5 @@ t0 = time.time()
 final, acc, rew, done = env.rollout(final, actions)
 np.asarray(rew[-1, :1])
 dt = time.time() - t0
-print(f"{512 * 4096 / dt / 1e6:.1f}M env-steps/s; "
+print(f"{T * B / dt / 1e6:.1f}M env-steps/s; "
       f"{int(done.sum())} episodes finished in this rollout")
