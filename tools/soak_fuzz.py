@@ -169,11 +169,16 @@ def main():
             # obs-level: the rendered 84x84 grayscale uint8 image of EVERY
             # step, via the device raster (build_observation_storage) vs the
             # host raster of the oracle's boards — chunked over T for memory
-            from gym_simpletetris_tpu.api.env import build_observation_storage
+            from gym_simpletetris_tpu.api.env import (
+                build_observation_storage, obs_from_storage)
             from gym_simpletetris_tpu.ops.raster import rasterize_host_batch
             img_fn = jax.jit(jax.vmap(
                 lambda e: build_observation_storage(
                     cfg.replace(obs_type="grayscale"), e)))
+            rgb_cfg = cfg.replace(obs_type="rgb")
+            rgb_fn = jax.jit(jax.vmap(
+                lambda e: obs_from_storage(
+                    rgb_cfg, build_observation_storage(rgb_cfg, e))))
             oboards = np.transpose(out["boards"], (1, 0, 3, 2))  # [T,B,H,W]
             ck = max(1, (1 << 24) // (B * 84 * 84))
             for t0c in range(0, T, ck):
@@ -183,6 +188,15 @@ def main():
                     cfg.height, cfg.width, 84).reshape(imgs.shape)
                 np.testing.assert_array_equal(imgs, want,
                                               err_msg=f"pixels cfg={cfg}")
+                if t0c == 0:
+                    # rgb delivered surface (the channel-triple + f32 cast,
+                    # tetris_env.py:117-122,:433): every channel of every
+                    # pixel on the first chunk
+                    rgb = np.asarray(rgb_fn(em[t0c:t0c + ck]))
+                    np.testing.assert_array_equal(
+                        rgb, np.repeat(
+                            want.astype(rgb.dtype)[..., None], 3, axis=-1),
+                        err_msg=f"rgb pixels cfg={cfg}")
         total += B * T
         print(f"[{ci+1}/{args.configs}] w{cfg.width} h{cfg.height} "
               f"ld{cfg.lock_delay} {script:11s} flags="
