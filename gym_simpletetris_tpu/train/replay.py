@@ -215,12 +215,288 @@ def replay_sample_prioritized(rs: ReplayState, key, batch: int, beta):
     return out, idx, w / jnp.maximum(w_max, 1e-12)
 
 
-def replay_update_priority(rs: ReplayState, idx, td_abs, alpha: float,
-                           eps: float = 1e-3) -> ReplayState:
-    """Write back p = (|delta| + eps)^alpha at the sampled flat indices."""
+def replay_update_priority(rs, idx, td_abs, alpha: float,
+                           eps: float = 1e-3):
+    """Write back p = (|delta| + eps)^alpha at the sampled flat indices.
+    (Duck-typed: works on ReplayState and FrameRingState alike — both carry
+    ``priority``/``max_p``.)"""
     p = (jnp.abs(td_abs) + eps) ** alpha
     flat = rs.priority.reshape(-1).at[idx].set(p.astype(jnp.float32))
     return rs.replace(
         priority=flat.reshape(rs.priority.shape),
         max_p=jnp.maximum(rs.max_p, p.max()),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame-ring replay: store each raw frame ONCE, reconstruct on gather.
+# ---------------------------------------------------------------------------
+#
+# The stacked-storage ring above keeps every frame ~2k times (k stacked copies
+# in ``obs`` + k in ``next_obs``), and the trainer's rolling n-step window
+# re-copies the stacked observation every actor step. At the flagship
+# operating point (256 envs, 84x84x4 stacks) those copies dominate the whole
+# actor: a round-4 ablation measured the actor at 0.596 ms/env-step with
+# frame_stack=4 vs 0.247 at frame_stack=1, with the network forward itself
+# only 0.13 ms — ~0.35 ms/step of pure observation plumbing (~50 MB/step at
+# an effective ~150 GB/s).
+#
+# The frame ring is the classic Atari-replay fix, TPU-shaped: one slot per
+# actor step holding the SINGLE raw frame f_t plus (a_t, r_t, d_t, priority);
+# observation stacks are rebuilt at consume time by k gathers with
+# episode-boundary clamping (positions before the episode start repeat the
+# episode's first frame — exactly the semantics of the actor's
+# reset-to-repeat stack), and n-step returns fold r/d at SAMPLE time, which
+# deletes the trainer's rolling window entirely. Memory: ~2k x smaller
+# (3.7 GB -> 0.46 GB for the 65536-capacity flagship ring). ``done`` is
+# initialized True so unfilled slots clamp like episode boundaries.
+#
+# Validity: a sample's stack needs the k-1 slots behind it and its n-step
+# target the n slots ahead, so sampling draws ring ages m in [n, filled-k]
+# (age 0 = newest written slot). PER masks the priority grid to that window.
+
+
+@struct.dataclass
+class FrameRingState:
+    frame: jnp.ndarray     # uint8[S, B, prod(base_shape)] — raw frame f_t
+    action: jnp.ndarray    # int8[S, B]    — a_t
+    reward: jnp.ndarray    # float32[S, B] — raw 1-step r_t
+    done: jnp.ndarray      # bool[S, B]    — d_t (True-initialized)
+    priority: jnp.ndarray  # float32[S, B] — p^alpha, 0 for unfilled
+    max_p: jnp.ndarray     # float32[]
+    ptr: jnp.ndarray       # int32[] — slot being written (frame first,
+    #                         action/reward/done complete it and advance)
+    filled_slots: jnp.ndarray  # int32[]
+    base_shape: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    frame_stack: int = struct.field(pytree_node=False, default=1)
+    n_step: int = struct.field(pytree_node=False, default=1)
+    gamma: float = struct.field(pytree_node=False, default=0.99)
+
+    @property
+    def width(self) -> int:
+        return self.frame.shape[1]
+
+    @property
+    def slots(self) -> int:
+        return self.frame.shape[0]
+
+    @property
+    def filled(self) -> jnp.ndarray:
+        return self.filled_slots * self.width
+
+    @property
+    def valid_slots(self) -> jnp.ndarray:
+        """Sampleable slot count: ages [n_step, filled-frame_stack]."""
+        return jnp.maximum(
+            self.filled_slots - self.frame_stack - self.n_step + 1, 0)
+
+
+def frame_ring_init(capacity: int, base_shape: Tuple[int, ...],
+                    insert_width: int, frame_stack: int = 1,
+                    n_step: int = 1, gamma: float = 0.99) -> FrameRingState:
+    if capacity % insert_width:
+        raise ValueError(
+            f"capacity {capacity} must be a multiple of the env batch "
+            f"{insert_width} (each env owns capacity/B ring slots)")
+    b, s = insert_width, capacity // insert_width
+    if s < frame_stack + n_step + 1:
+        raise ValueError(
+            f"ring of {s} slots cannot serve frame_stack={frame_stack} + "
+            f"n_step={n_step}")
+    f = 1
+    for d in base_shape:
+        f *= int(d)
+    z = jnp.zeros
+    return FrameRingState(
+        base_shape=tuple(base_shape), frame_stack=int(frame_stack),
+        n_step=int(n_step), gamma=float(gamma),
+        frame=z((s, b, f), jnp.uint8),
+        action=z((s, b), jnp.int8),
+        reward=z((s, b), jnp.float32),
+        done=jnp.ones((s, b), jnp.bool_),   # unfilled slots clamp stacks
+        priority=z((s, b), jnp.float32),
+        max_p=jnp.ones((), jnp.float32),
+        ptr=jnp.zeros((), jnp.int32),
+        filled_slots=jnp.zeros((), jnp.int32),
+    )
+
+
+def frame_ring_insert_frame(rs: FrameRingState, frame) -> FrameRingState:
+    """Write the raw frame f_t at the current slot (before acting — the
+    actor then reads its stack straight back out of the ring)."""
+    b = frame.shape[0]
+    if b != rs.width:
+        raise ValueError(f"insert width {b} != ring width {rs.width}")
+    val = frame.astype(jnp.uint8).reshape(b, -1)[None]
+    return rs.replace(frame=jax.lax.dynamic_update_slice(
+        rs.frame, val, (rs.ptr, 0, 0)))
+
+
+def frame_ring_insert_step(rs: FrameRingState, action, reward,
+                           done) -> FrameRingState:
+    """Complete the current slot with (a_t, r_t, d_t) and advance the ring."""
+    b = action.shape[0]
+
+    def upd(buf, val):
+        return jax.lax.dynamic_update_slice(buf, val[None], (rs.ptr, 0))
+
+    return rs.replace(
+        action=upd(rs.action, action.astype(jnp.int8)),
+        reward=upd(rs.reward, reward.astype(jnp.float32)),
+        done=upd(rs.done, done),
+        priority=upd(rs.priority, jnp.full((b,), rs.max_p, jnp.float32)),
+        ptr=(rs.ptr + 1) % rs.slots,
+        filled_slots=jnp.minimum(rs.filled_slots + 1, rs.slots),
+    )
+
+
+def _run_length_grid(rs: FrameRingState) -> jnp.ndarray:
+    """int32[S, B]: for each slot, how many steps back the episode extends
+    (capped at frame_stack-1) — the stack-clamp offset cap. Computed as
+    k-1 rolled elementwise passes over the done grid (the [S, B] grid is
+    tiny; per-sample done GATHERS were measured to dominate the frame-ring
+    learner cost, BENCH_LOCAL round 4)."""
+    k = rs.frame_stack
+    run = jnp.zeros(rs.done.shape, jnp.int32)
+    ok = jnp.ones(rs.done.shape, jnp.bool_)
+    for j in range(1, k):
+        ok = ok & ~jnp.roll(rs.done, j, axis=0)       # done at slot-j
+        run = jnp.where(ok, j, run)
+    return run
+
+
+def _ring_stack(rs: FrameRingState, slot, env, run_flat=None):
+    """Rebuild observation stacks ending at ``slot`` (newest frame) for the
+    given (slot, env) pairs: [N, *base_shape(, k)] uint8.
+
+    Position j steps back uses f_{slot-j} while slots slot-j..slot-1 carry no
+    ``done``; past an episode boundary it clamps to the episode's first frame
+    — bit-identical to the actor's shift-and-reset-to-repeat stack.
+    ``run_flat``: optional precomputed flat run-length grid (shared across
+    the obs/next stacks of one sample call)."""
+    k, S, B = rs.frame_stack, rs.slots, rs.width
+    flat = rs.frame.reshape(S * B, -1)
+
+    def take_at(off):
+        return jnp.take(flat, ((slot - off) % S) * B + env, axis=0)
+
+    if k == 1:
+        out = take_at(jnp.zeros_like(slot))
+        return out.reshape((slot.shape[0],) + rs.base_shape)
+
+    if run_flat is None:
+        run_flat = _run_length_grid(rs).reshape(S * B)
+    run = jnp.take(run_flat, slot * B + env, axis=0)  # one gather, not k-1
+    frames = [take_at(jnp.zeros_like(slot))]          # j = 0: newest
+    for j in range(1, k):
+        frames.append(take_at(jnp.minimum(j, run)))   # clamp at episode start
+    out = jnp.stack(frames[::-1], axis=-1)            # oldest first
+    return out.reshape((slot.shape[0],) + rs.base_shape + (k,))
+
+
+def frame_ring_stack_newest(rs: FrameRingState) -> jnp.ndarray:
+    """The actor's current observation stack, straight from the ring: call
+    after :func:`frame_ring_insert_frame` (the newest frame sits at ptr).
+
+    Gather-free: every env reads the SAME k slots (ptr, ptr-1, ...), so the
+    stack is k ``dynamic_index_in_dim`` row reads with the episode-boundary
+    clamp as cascaded per-env selects — contiguous [B, F] traffic instead of
+    a B-row gather (TPU gathers price per row; see BENCH_LOCAL round 4)."""
+    k, S, B = rs.frame_stack, rs.slots, rs.width
+    prev = jax.lax.dynamic_index_in_dim(rs.frame, rs.ptr % S, 0,
+                                        keepdims=False)          # [B, F]
+    if k == 1:
+        return prev.reshape((B,) + rs.base_shape)
+    frames = [prev]
+    ok = jnp.ones((B, 1), jnp.bool_)
+    for j in range(1, k):
+        d_j = jax.lax.dynamic_index_in_dim(rs.done, (rs.ptr - j) % S, 0,
+                                           keepdims=False)[:, None]
+        ok = ok & ~d_j
+        f_j = jax.lax.dynamic_index_in_dim(rs.frame, (rs.ptr - j) % S, 0,
+                                           keepdims=False)
+        prev = jnp.where(ok, f_j, prev)   # clamp: carry the last in-episode
+        frames.append(prev)
+    out = jnp.stack(frames[::-1], axis=-1)            # oldest first
+    return out.reshape((B,) + rs.base_shape + (k,))
+
+
+def _frame_ring_batch(rs: FrameRingState, slot, env) -> dict:
+    """Materialize sampled transitions: stacks by gather+clamp, n-step
+    return/discount folded from the raw per-slot rewards/dones.
+
+    All scalar quantities (n-step return, discount, done-any, clamp run
+    length) are PRE-FOLDED on the whole [S, B] grid with rolled elementwise
+    passes (a few hundred KB) and fetched with ONE gather each — the naive
+    per-sample formulation cost ~2n+2(k-1)+1 scalar gathers per batch and
+    TPU gathers price per row, which is what regressed the first frame-ring
+    cut at le=4 (BENCH_LOCAL round 4)."""
+    S, B, n = rs.slots, rs.width, rs.n_step
+    fidx = slot * B + env
+
+    ret_g = jnp.zeros(rs.reward.shape, jnp.float32)
+    alive_g = jnp.ones(rs.reward.shape, jnp.float32)
+    done_any_g = jnp.zeros(rs.done.shape, jnp.bool_)
+    for i in range(n):
+        r_i = jnp.roll(rs.reward, -i, axis=0)         # value at slot+i
+        d_i = jnp.roll(rs.done, -i, axis=0)
+        ret_g = ret_g + (rs.gamma ** i) * alive_g * r_i
+        done_any_g = done_any_g | d_i
+        alive_g = alive_g * (1.0 - d_i.astype(jnp.float32))
+
+    run_flat = (None if rs.frame_stack == 1
+                else _run_length_grid(rs).reshape(S * B))
+    return {
+        "obs": _ring_stack(rs, slot, env, run_flat).astype(jnp.float32),
+        "next_obs": _ring_stack(rs, (slot + n) % S, env,
+                                run_flat).astype(jnp.float32),
+        "action": jnp.take(rs.action.reshape(S * B), fidx,
+                           axis=0).astype(jnp.int32),
+        "reward": jnp.take(ret_g.reshape(S * B), fidx, axis=0),
+        "discount": (rs.gamma ** n) * jnp.take(alive_g.reshape(S * B),
+                                               fidx, axis=0),
+        "done": jnp.take(done_any_g.reshape(S * B), fidx, axis=0),
+    }
+
+
+def frame_ring_sample(rs: FrameRingState, key, batch: int):
+    """Uniform sample over the valid age window [n_step, filled-k]."""
+    kb, ks = jax.random.split(key)
+    m = rs.n_step + jax.random.randint(
+        ks, (batch,), 0, jnp.maximum(rs.valid_slots, 1))
+    slot = (rs.ptr - 1 - m) % rs.slots
+    env = jax.random.randint(kb, (batch,), 0, rs.width)
+    return _frame_ring_batch(rs, slot, env)
+
+
+def _frame_ring_valid_mask(rs: FrameRingState) -> jnp.ndarray:
+    """[S] bool: slots whose age is in the sampleable window."""
+    age = (rs.ptr - 1 - jnp.arange(rs.slots, dtype=jnp.int32)) % rs.slots
+    return (age >= rs.n_step) & (age < rs.n_step + rs.valid_slots)
+
+
+def frame_ring_sample_prioritized(rs: FrameRingState, key, batch: int, beta):
+    """Priority-proportional sample with replacement over the valid window —
+    the same two-level inverse-CDF as the stacked ring, with the grid masked
+    to sampleable ages."""
+    bw, sl = rs.width, rs.slots
+    grid = jnp.where(_frame_ring_valid_mask(rs)[:, None], rs.priority, 0.0)
+    s_slot = grid.sum(axis=1)
+    total = s_slot.sum()
+    u = jax.random.uniform(key, (batch,)) * total
+    cum_slot = jnp.cumsum(s_slot)
+    slot = jnp.minimum((cum_slot[None, :] <= u[:, None]).sum(axis=1), sl - 1)
+    r = u - jnp.take(cum_slot - s_slot, slot)
+    rows_p = jnp.take(grid, slot, axis=0)
+    cum_in = jnp.cumsum(rows_p, axis=1)
+    row = jnp.minimum((cum_in <= r[:, None]).sum(axis=1), bw - 1)
+    idx = slot * bw + row
+    out = _frame_ring_batch(rs, slot, row)
+    prob = jnp.take(grid.reshape(-1), idx) / jnp.maximum(total, 1e-12)
+    n = jnp.maximum(rs.valid_slots * bw, 1).astype(jnp.float32)
+    w = (1.0 / (n * jnp.maximum(prob, 1e-12))) ** beta
+    w = jnp.where(prob > 0, w, 0.0)
+    p_min = jnp.min(jnp.where(grid > 0, grid, jnp.inf))
+    w_max = (1.0 / (n * jnp.maximum(p_min, 1e-12) /
+                    jnp.maximum(total, 1e-12))) ** beta
+    return out, idx, w / jnp.maximum(w_max, 1e-12)
