@@ -26,7 +26,10 @@ from ..core.config import EnvConfig
 from ..core.engine import NUM_ACTIONS
 from ..api.env import build_observation, reset_fn, step_fn
 from ..models.dqn import build_q_network
-from .replay import (ReplayState, replay_init, replay_insert, replay_sample,
+from .replay import (ReplayState, frame_ring_init, frame_ring_insert_frame,
+                     frame_ring_insert_step, frame_ring_sample,
+                     frame_ring_sample_prioritized, frame_ring_stack_newest,
+                     replay_init, replay_insert, replay_sample,
                      replay_sample_prioritized, replay_update_priority)
 
 
@@ -69,12 +72,29 @@ class DQNConfig:
                           # num_envs transitions, so the default stays 1 —
                           # raise it to trade sample reuse for throughput on
                           # conv models where the learner dominates).
+    frame_ring: bool = False  # store single frames in the replay and rebuild
+                          # stacks / n-step returns at consume time
+                          # (replay.FrameRingState): deletes the per-step
+                          # stacked-obs shift, the n-step window and the 2k x
+                          # frame duplication in the ring — measured the
+                          # dominant actor cost at frame_stack=4 (BENCH_LOCAL
+                          # round 4). Same transition semantics (tested
+                          # equivalent in tests/test_frame_ring.py).
+    ring_stacks: bool = False  # with frame_ring: store the WHOLE stack per
+                          # slot (the "obs ring") instead of single frames —
+                          # k x the frame memory (still no next_obs buffer,
+                          # no window: 2x leaner than legacy) but sampling
+                          # reads one contiguous row per stack instead of k
+                          # row-gathers; measured the fastest flagship
+                          # layout (TPU gathers price per row).
 
     def __post_init__(self):
         if self.buffer_capacity % self.num_envs:
             raise ValueError("buffer_capacity must be a multiple of num_envs")
         if self.learn_every < 1:
             raise ValueError("learn_every must be >= 1")
+        if self.ring_stacks and not self.frame_ring:
+            raise ValueError("ring_stacks requires frame_ring=True")
 
 
 @struct.dataclass
@@ -178,22 +198,36 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
     def init_fn(key) -> DQNState:
         k_env, k_net, k_state = jax.random.split(key, 3)
         obs, env_state = reset_fn(ecfg, cfg.num_envs, k_env)
-        obs = _stack_reset(obs)
         params = network.init(k_net, jnp.zeros((1,) + obs_shape, jnp.float32))
+        if cfg.frame_ring:
+            # the state holds the newest frame (single-frame layout) or the
+            # maintained stack (obs-ring layout), uint8 — the palette is
+            # integer-exact; n-step maturation lives in the ring either way
+            replay = frame_ring_init(cfg.buffer_capacity, base_shape,
+                                     cfg.num_envs, k, cfg.n_step, cfg.gamma,
+                                     stacked=cfg.ring_stacks)
+            obs = obs.astype(jnp.uint8)
+            if cfg.ring_stacks:
+                obs = _stack_reset(obs)
+        else:
+            replay = replay_init(cfg.buffer_capacity, obs_shape, cfg.num_envs)
+            obs = _stack_reset(obs)
         state = DQNState(
             params=params,
             target_params=jax.tree.map(jnp.copy, params),
             opt_state=tx.init(params),
-            replay=replay_init(cfg.buffer_capacity, obs_shape, cfg.num_envs),
+            replay=replay,
             env_state=env_state,
             obs=obs,
             key=k_state,
             step=jnp.zeros((), jnp.int32),
             learn_steps=jnp.zeros((), jnp.int32),
         )
-        if cfg.n_step > 1:
+        if cfg.n_step > 1 and not cfg.frame_ring:
             # prefill the pending window with n-1 random-policy transitions so
             # every train_step matures exactly one insertable transition
+            # (the frame ring needs no window: maturation is intrinsic — a
+            # slot becomes sampleable once its n successors exist)
             state = state.replace(window=_empty_window())
             prefill = jax.jit(_prefill_step)
             for _ in range(cfg.n_step - 1):
@@ -306,8 +340,18 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
         k_eps, k_act, k_sample, k_nact, k_nlearn, key = jax.random.split(
             state.key, 6)
 
+        if cfg.frame_ring:
+            # write this step's observation row (raw frame, or the
+            # maintained stack in obs-ring mode); single-frame mode reads
+            # the stack back out of the ring
+            replay0 = frame_ring_insert_frame(state.replay, state.obs)
+            cur_obs = (state.obs if cfg.ring_stacks
+                       else frame_ring_stack_newest(replay0))
+        else:
+            cur_obs = state.obs
+
         # -- actor: epsilon-greedy (or noisy-greedy) on the current obs ---------
-        q = q_values(state.params, state.obs, k_nact)
+        q = q_values(state.params, cur_obs, k_nact)
         greedy = jnp.argmax(q, axis=1).astype(jnp.int32)
         if cfg.noisy:
             # NoisyNet exploration: fresh parameter noise each step, no
@@ -322,8 +366,14 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
 
         raw_next, env_state, reward, done, _ = step_fn(ecfg, state.env_state,
                                                        action)
-        next_obs = _stack_next(state.obs, raw_next, done)
-        if cfg.n_step > 1:
+        if cfg.frame_ring:
+            replay = frame_ring_insert_step(replay0, action, reward, done)
+            raw_u8 = raw_next.astype(jnp.uint8)
+            next_obs = (_stack_next(state.obs, raw_u8, done)
+                        if cfg.ring_stacks else raw_u8)
+            window = state.window
+        elif cfg.n_step > 1:
+            next_obs = _stack_next(state.obs, raw_next, done)
             m_obs, m_act, m_ret, m_next, m_disc, m_done = _mature_nstep(
                 state.window, state.obs, action, reward, done, next_obs)
             replay = replay_insert(state.replay, m_obs, m_next, m_act, m_ret,
@@ -331,6 +381,7 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
             window = _push_window(state.window, state.obs, action, reward,
                                   done)
         else:
+            next_obs = _stack_next(state.obs, raw_next, done)
             replay = replay_insert(state.replay, state.obs, next_obs, action,
                                    reward, done, gamma=cfg.gamma)
             window = state.window
@@ -344,15 +395,23 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
 
         # -- learner: one TD step once the buffer has warmed up -----------------
         can_learn = replay.filled >= cfg.learn_starts
+        if cfg.frame_ring:
+            # a frame-ring slot is sampleable only once its k-1 predecessors
+            # and n successors exist
+            can_learn &= replay.valid_slots > 0
         if cfg.prioritized:
             frac = jnp.clip(
                 state.learn_steps.astype(jnp.float32) / cfg.per_beta_steps,
                 0, 1)
             beta = cfg.per_beta0 + (1.0 - cfg.per_beta0) * frac
-            batch, per_idx, weights = replay_sample_prioritized(
+            sample_p = (frame_ring_sample_prioritized if cfg.frame_ring
+                        else replay_sample_prioritized)
+            batch, per_idx, weights = sample_p(
                 replay, k_sample, cfg.learn_batch, beta)
         else:
-            batch = replay_sample(replay, k_sample, cfg.learn_batch)
+            sample_u = (frame_ring_sample if cfg.frame_ring
+                        else replay_sample)
+            batch = sample_u(replay, k_sample, cfg.learn_batch)
             weights = jnp.ones((cfg.learn_batch,), jnp.float32)
         (loss, (err, q_sel)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.target_params,

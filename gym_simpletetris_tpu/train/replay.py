@@ -271,6 +271,15 @@ class FrameRingState:
     frame_stack: int = struct.field(pytree_node=False, default=1)
     n_step: int = struct.field(pytree_node=False, default=1)
     gamma: float = struct.field(pytree_node=False, default=0.99)
+    # stacked=True: each slot row holds the WHOLE observation stack the
+    # actor saw at that step (the "obs ring"): k x the frame memory of the
+    # single-frame layout, but sampling reads ONE contiguous row per stack
+    # (obs at s, next at s+n) instead of k row-gathers each — measured the
+    # faster flagship layout because TPU gathers price per row
+    # (BENCH_LOCAL round 4). Single-frame (stacked=False) stays the
+    # memory-lean layout. Both fold n-step returns at sample time and
+    # need no rolling window.
+    stacked: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def width(self) -> int:
@@ -285,15 +294,21 @@ class FrameRingState:
         return self.filled_slots * self.width
 
     @property
+    def history_slots(self) -> int:
+        """Slots of backward history a sample's obs stack needs."""
+        return 1 if self.stacked else self.frame_stack
+
+    @property
     def valid_slots(self) -> jnp.ndarray:
-        """Sampleable slot count: ages [n_step, filled-frame_stack]."""
+        """Sampleable slot count: ages [n_step, filled-history]."""
         return jnp.maximum(
-            self.filled_slots - self.frame_stack - self.n_step + 1, 0)
+            self.filled_slots - self.history_slots - self.n_step + 1, 0)
 
 
 def frame_ring_init(capacity: int, base_shape: Tuple[int, ...],
                     insert_width: int, frame_stack: int = 1,
-                    n_step: int = 1, gamma: float = 0.99) -> FrameRingState:
+                    n_step: int = 1, gamma: float = 0.99,
+                    stacked: bool = False) -> FrameRingState:
     if capacity % insert_width:
         raise ValueError(
             f"capacity {capacity} must be a multiple of the env batch "
@@ -306,10 +321,12 @@ def frame_ring_init(capacity: int, base_shape: Tuple[int, ...],
     f = 1
     for d in base_shape:
         f *= int(d)
+    if stacked:
+        f *= int(frame_stack)
     z = jnp.zeros
     return FrameRingState(
         base_shape=tuple(base_shape), frame_stack=int(frame_stack),
-        n_step=int(n_step), gamma=float(gamma),
+        n_step=int(n_step), gamma=float(gamma), stacked=bool(stacked),
         frame=z((s, b, f), jnp.uint8),
         action=z((s, b), jnp.int8),
         reward=z((s, b), jnp.float32),
@@ -380,6 +397,12 @@ def _ring_stack(rs: FrameRingState, slot, env, run_flat=None):
     def take_at(off):
         return jnp.take(flat, ((slot - off) % S) * B + env, axis=0)
 
+    if rs.stacked:
+        # obs-ring layout: the whole stack is one contiguous row
+        out = take_at(jnp.zeros_like(slot))
+        shape = rs.base_shape + ((k,) if k > 1 else ())
+        return out.reshape((slot.shape[0],) + shape)
+
     if k == 1:
         out = take_at(jnp.zeros_like(slot))
         return out.reshape((slot.shape[0],) + rs.base_shape)
@@ -444,7 +467,7 @@ def _frame_ring_batch(rs: FrameRingState, slot, env) -> dict:
         done_any_g = done_any_g | d_i
         alive_g = alive_g * (1.0 - d_i.astype(jnp.float32))
 
-    run_flat = (None if rs.frame_stack == 1
+    run_flat = (None if rs.frame_stack == 1 or rs.stacked
                 else _run_length_grid(rs).reshape(S * B))
     return {
         "obs": _ring_stack(rs, slot, env, run_flat).astype(jnp.float32),

@@ -139,19 +139,20 @@ def test_actor_stack_matches_newest():
 
 
 def test_trainer_trajectory_bitwise_vs_legacy():
-    """Same seed, n_step=1: the frame-ring trainer's actor must produce the
-    exact same reward/episode stream as the stacked-storage trainer (stacks
-    reconstructed from the ring == stacks maintained by shifting)."""
+    """Same seed, n_step=1: the frame-ring trainer's actor (both layouts)
+    must produce the exact same reward/episode stream as the stacked-storage
+    trainer (stacks reconstructed from the ring == stacks maintained by
+    shifting == stacks stored whole)."""
     from gym_simpletetris_tpu.train.dqn import DQNConfig, make_train
 
     streams = []
-    for fr in (False, True):
+    for fr, stacks in ((False, False), (True, False), (True, True)):
         cfg = DQNConfig(
             env=EnvConfig(obs_type="grayscale", auto_reset=True, width=6,
                           height=8, reward_step=True),
             num_envs=8, buffer_capacity=512, learn_batch=16,
             learn_starts=10**9,        # actor-only: isolate stack behavior
-            frame_stack=4, n_step=1, frame_ring=fr)
+            frame_stack=4, n_step=1, frame_ring=fr, ring_stacks=stacks)
         init_fn, step_fn, _, _ = make_train(cfg)
         state = init_fn(jax.random.PRNGKey(11))
         stepj = jax.jit(step_fn)
@@ -161,7 +162,55 @@ def test_trainer_trajectory_bitwise_vs_legacy():
             rews.append(float(m["mean_reward"]))
             eps.append(float(m["episodes_done"]))
         streams.append((rews, eps))
-    assert streams[0] == streams[1]
+    assert streams[0] == streams[1] == streams[2]
+
+
+@pytest.mark.parametrize("T,S,k,n", [(20, 32, 4, 3), (50, 16, 4, 2)])
+def test_obs_ring_contents_vs_numpy(T, S, k, n):
+    """Obs-ring (stacked=True) layout: slot t stores the maintained stack;
+    sampled transitions must match the same numpy reference (obs = stack at
+    t, next = stack at t+n incl. the reset-repeat boundary, scalars folded
+    identically)."""
+    B, F, gamma = 5, 12, 0.9
+    frames, actions, rewards, dones = _script_trajectory(T, B, F, seed=9)
+    # the actor-maintained stack at each t, via the reference clamp rule
+    stacks = np.stack([np.stack([_np_stack(frames, dones, t, b, k)
+                                 for b in range(B)])
+                       for t in range(T)])               # [T, B, F, k]
+    rs = frame_ring_init(S * B, (F,), B, k, n, gamma, stacked=True)
+    ins_f = jax.jit(frame_ring_insert_frame)
+    ins_s = jax.jit(frame_ring_insert_step)
+    for t in range(T):
+        rs = ins_f(rs, jnp.asarray(stacks[t].reshape(B, -1)))
+        rs = ins_s(rs, jnp.asarray(actions[t]), jnp.asarray(rewards[t]),
+                   jnp.asarray(dones[t]))
+    filled = min(T, S)
+    valid = int(rs.valid_slots)
+    assert valid == max(filled - 1 - n + 1, 0)   # history_slots == 1
+    ages = list(range(n, n + valid))
+    slots = jnp.asarray([(T - 1 - m) % S for m in ages], jnp.int32)
+    for b in range(B):
+        env = jnp.full((len(ages),), b, jnp.int32)
+        got = jax.jit(_frame_ring_batch)(rs, slots, env)
+        for i, m in enumerate(ages):
+            t = T - 1 - m
+            np.testing.assert_array_equal(
+                np.asarray(got["obs"][i], np.uint8).reshape(F, k),
+                stacks[t, b], err_msg=f"obs t={t} b={b}")
+            np.testing.assert_array_equal(
+                np.asarray(got["next_obs"][i], np.uint8).reshape(F, k),
+                stacks[t + n, b], err_msg=f"next t={t} b={b}")
+            assert int(got["action"][i]) == actions[t, b]
+            ret, alive, done_any = 0.0, 1.0, False
+            for i2 in range(n):
+                ret += (gamma ** i2) * alive * rewards[t + i2, b]
+                alive *= (1.0 - float(dones[t + i2, b]))
+                done_any |= bool(dones[t + i2, b])
+            np.testing.assert_allclose(float(got["reward"][i]), ret,
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(float(got["discount"][i]),
+                                       (gamma ** n) * alive, rtol=1e-6)
+            assert bool(got["done"][i]) == done_any
 
 
 def test_per_sampling_stays_in_valid_window():
@@ -187,8 +236,10 @@ def test_per_sampling_stays_in_valid_window():
     assert np.isfinite(np.asarray(batch["reward"])).all()
 
 
-def test_frame_ring_mesh_matches_unsharded():
-    """make_train(frame_ring=True, mesh=...) metrics == unsharded, bitwise."""
+@pytest.mark.parametrize("stacks", [False, True])
+def test_frame_ring_mesh_matches_unsharded(stacks):
+    """make_train(frame_ring=True, mesh=...) metrics == unsharded, both
+    ring layouts."""
     from jax.sharding import Mesh
     from gym_simpletetris_tpu.train.dqn import DQNConfig, make_train
 
@@ -201,7 +252,7 @@ def test_frame_ring_mesh_matches_unsharded():
         # (PER x mesh is covered bitwise single-step by dryrun_multichip)
         num_envs=16, buffer_capacity=512, learn_batch=16, learn_starts=32,
         frame_stack=4, n_step=2, prioritized=False, dueling=True,
-        noisy=True, frame_ring=True)
+        noisy=True, frame_ring=True, ring_stacks=stacks)
 
     init_u, step_u, chunk_u, _ = make_train(cfg)
     su = jax.jit(init_u)(jax.random.PRNGKey(2))
