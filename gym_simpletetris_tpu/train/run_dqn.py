@@ -61,6 +61,15 @@ def parse_args(argv=None):
     p.add_argument("--learn-every", type=int, default=1,
                    help="actor steps per learner update (Rainbow uses 4; "
                         "must divide --chunk)")
+    p.add_argument("--replay-layout", default="legacy",
+                   choices=["legacy", "frame-ring", "obs-ring"],
+                   help="replay storage layout: legacy (stacked obs+next "
+                        "per transition — fastest for ram), obs-ring (one "
+                        "stacked row per step, window-free, no next buffer "
+                        "— the fastest image/frame-stack layout: flagship "
+                        "+35%% at learn_every=4), frame-ring (single raw "
+                        "frames, 2k-x leaner memory, gather-heavier "
+                        "sampling)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-jsonl", default=None)
     p.add_argument("--ckpt", default=None)
@@ -91,7 +100,9 @@ def main(argv=None):
         prioritized=args.prioritized, per_alpha=args.per_alpha,
         per_beta0=args.per_beta0, distributional=args.distributional,
         num_atoms=args.num_atoms, v_min=args.v_min, v_max=args.v_max,
-        noisy=args.noisy, learn_every=args.learn_every)
+        noisy=args.noisy, learn_every=args.learn_every,
+        frame_ring=args.replay_layout != "legacy",
+        ring_stacks=args.replay_layout == "obs-ring")
 
     init_fn, _, chunk_fn, _ = make_train(cfg)
     state = init_fn(jax.random.PRNGKey(args.seed))

@@ -27,8 +27,14 @@ def _read_jsonl(path):
             if l.strip() and "resumed_from" not in l]
 
 
-@pytest.mark.parametrize("extra", [(), ("--prioritized", "--n-step", "2")],
-                         ids=["plain", "per_nstep"])
+@pytest.mark.parametrize(
+    "extra",
+    [(), ("--prioritized", "--n-step", "2"),
+     ("--prioritized", "--n-step", "2", "--frame-stack", "3",
+      "--obs", "grayscale", "--replay-layout", "obs-ring"),
+     ("--n-step", "2", "--frame-stack", "3", "--obs", "grayscale",
+      "--replay-layout", "frame-ring")],
+    ids=["plain", "per_nstep", "obs_ring", "frame_ring"])
 def test_dqn_kill_and_resume_identical_metrics(tmp_path, extra):
     from gym_simpletetris_tpu.train.run_dqn import main
 
