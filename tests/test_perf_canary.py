@@ -78,3 +78,26 @@ def test_train_chunk_bytes_budget():
     st = init_fn(jax.random.PRNGKey(0))
     ca = _cost(partial(chunk_fn, n=8), st)
     assert ca["bytes accessed"] < 300e6, ca["bytes accessed"]
+
+
+def test_obs_ring_chunk_cheaper_than_legacy_at_frame_stack():
+    """The round-4 obs-ring layout exists because the legacy layout's
+    per-step stacked-obs plumbing (shift + window push + obs/next insert)
+    dominated the flagship actor (BENCH_LOCAL round 4). Pin the structural
+    advantage: with frame stacking + n-step, the obs-ring train chunk must
+    touch well under the legacy chunk's bytes."""
+    from gym_simpletetris_tpu.train.dqn import DQNConfig, make_train
+
+    def chunk_bytes(**kw):
+        cfg = DQNConfig(
+            env=EnvConfig(obs_type="grayscale", auto_reset=True,
+                          reward_step=True),
+            num_envs=64, buffer_capacity=8192, learn_batch=64,
+            learn_starts=128, frame_stack=4, n_step=3, learn_every=4, **kw)
+        init_fn, _, chunk_fn, _ = make_train(cfg)
+        st = init_fn(jax.random.PRNGKey(0))
+        return _cost(partial(chunk_fn, n=8), st)["bytes accessed"]
+
+    legacy = chunk_bytes()
+    obs_ring = chunk_bytes(frame_ring=True, ring_stacks=True)
+    assert obs_ring < 0.75 * legacy, (obs_ring, legacy)
