@@ -1,10 +1,15 @@
 #!/usr/bin/env python
 """Throughput benchmark: env-steps/s at B=4096 on one chip (BASELINE.json metric).
 
-Prints exactly ONE JSON line to stdout (the ram headline):
-  {"metric": ..., "value": N, "unit": "env_steps/s", "vs_baseline": N}
-and, by default, one JSON line per obs type (ram, grayscale, rgb) to stderr so
-the driver artifact captures the image-observation configs too.
+Prints exactly ONE JSON line to stdout (the ram headline, carrying a
+``regressed`` verdict aggregated over every metric measured):
+  {"metric": ..., "value": N, "unit": "env_steps/s", "vs_baseline": N,
+   "regressed": false}
+and, by default, one JSON line per obs type (ram, grayscale, rgb), the ram
+B=16384 record config, the two delivered-f32 materialization configs, and
+the flagship Rainbow trainer at its canonical le=4 point to stderr so the
+driver artifact captures them too — each with a ``floor`` (round-record
+minus jitter margin) and per-line ``regressed`` flag.
 
 vs_baseline compares against the reference implementation measured in
 BASELINE.md (single-process Python on CPU): 22,500 steps/s for obs_type=ram,
@@ -65,7 +70,53 @@ FLOORS = {
     "env_steps_per_sec_ram_b16384": 140e6,
     "env_steps_per_sec_grayscale_b4096_delivered_f32": 19e6,
     "env_steps_per_sec_rgb_b4096_delivered_f32": 3.3e6,
+    # flagship Rainbow conv trainer at its canonical operating point
+    # (256 envs, learn_every=4, obs-ring layout): round-4 record 369k;
+    # floor = the round-3 verdict's own >=330k target for this axis
+    "train_env_steps_per_sec_flagship_le4": 330e3,
 }
+
+
+def bench_flagship_trainer() -> dict:
+    """One driver-artifact line for the flagship TRAINER (the env lines
+    above cover the environment only): full Rainbow conv DQN — gray-u8 +
+    4-frame stack + PER + 3-step + dueling + C51 + noisy — at the canonical
+    256-env / learn_every=4 point on the obs-ring replay layout
+    (BENCH_LOCAL round 4). Strict end-of-run host-fetch sync."""
+    from gym_simpletetris_tpu.train.dqn import DQNConfig, make_train
+
+    cfg = DQNConfig(
+        env=EnvConfig(obs_type="grayscale", auto_reset=True,
+                      reward_step=True, penalise_height=True),
+        num_envs=256, buffer_capacity=65536, learn_batch=512,
+        learn_every=4, frame_stack=4, prioritized=True, n_step=3,
+        dueling=True, distributional=True, noisy=True,
+        frame_ring=True, ring_stacks=True)
+    init_fn, _, chunk_fn, _ = make_train(cfg)
+    state = init_fn(jax.random.PRNGKey(0))
+    chunk = jax.jit(lambda s: chunk_fn(s, 512))
+    state, m = chunk(state)              # compile + warm
+    state, m = chunk(state)
+    np.asarray(m["loss"])                # sync
+    n_chunks = 6
+    sps = 0.0
+    for _pass in range(2):               # best-of-2 (dispatch jitter)
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            state, m = chunk(state)
+        np.asarray(m["loss"])            # sync AFTER the last queued chunk
+        sps = max(sps, n_chunks * 512 * cfg.num_envs
+                  / (time.perf_counter() - t0))
+    return {
+        "metric": "train_env_steps_per_sec_flagship_le4",
+        "value": round(sps, 1), "unit": "env_steps/s",
+        "vs_baseline": round(sps / REF_BASELINE["grayscale"], 1),
+        "_detail": {"num_envs": 256, "learn_every": 4,
+                    "replay_layout": "obs-ring",
+                    "features": "PER+3step+dueling+C51+noisy+stack4",
+                    "loss": round(float(np.asarray(m["loss"])), 4),
+                    "device": str(jax.devices()[0]).replace(" ", "_")},
+    }
 
 
 def _apply_floor(r: dict) -> dict:
@@ -157,6 +208,8 @@ def main():
     ap.add_argument("--profile-dir", default=None)
     ap.add_argument("--no-delivered", action="store_true",
                     help="skip the two delivered-f32 materialization lines")
+    ap.add_argument("--no-train", action="store_true",
+                    help="skip the flagship trainer line (slow off-TPU)")
     ap.add_argument("--all", action="store_true",
                     help="(default behavior; kept for compatibility)")
     args = ap.parse_args()
@@ -191,6 +244,11 @@ def main():
                 _apply_floor(r)
                 any_regressed |= r.get("regressed", False)
                 print(json.dumps(r), file=sys.stderr, flush=True)
+        if not args.no_train:
+            # flagship trainer line (the only non-env metric in the artifact)
+            r = _apply_floor(bench_flagship_trainer())
+            any_regressed |= r.get("regressed", False)
+            print(json.dumps(r), file=sys.stderr, flush=True)
         headline = results["ram"]
         # headline verdict covers EVERY metric measured this run
         headline["regressed"] = any_regressed
