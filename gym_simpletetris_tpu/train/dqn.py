@@ -9,6 +9,14 @@ gradient all-reduce (ICI psum) automatically.
 
 Double DQN + optional dueling heads + optional distributional (C51) targets;
 epsilon is linearly annealed on device.
+
+Replay layouts (replay.py): the legacy ring stores matured stacked
+transitions (obs+next per slot, rolling n-step window — fastest for tiny
+ram observations); ``frame_ring=True`` stores per-step rows with sample-time
+n-step folding and no window — with ``ring_stacks=True`` (the "obs ring",
+the flagship image layout: +35% at learn_every=4, BENCH_LOCAL round 4) each
+row is the whole observation stack, with ``ring_stacks=False`` a single raw
+frame (2k-x leaner memory, gather-heavier sampling).
 """
 
 from __future__ import annotations
