@@ -39,11 +39,24 @@ class PPOConfig:
     num_minibatches: int = 8
     max_grad_norm: float = 0.5
     reward_scale: float = 0.01  # tame the -100 death spikes for value learning
+    shuffle_block: int = 1  # epoch-shuffle granularity: 1 = exact per-row
+    # permutation; >1 permutes contiguous row BLOCKS instead. The flat
+    # rollout is [T, B]-major, so a block of K <= num_envs rows is K
+    # *different envs at the same timestep* — block-shuffled minibatches
+    # still mix random timesteps x random env groups, while the shuffle
+    # gather drops from n rows to n/K rows (TPU gathers price per row: the
+    # row-exact shuffle measured 22% of ram-PPO throughput, BENCH_LOCAL
+    # round 4).
 
     def __post_init__(self):
         if (self.num_envs * self.rollout_len) % self.num_minibatches:
             raise ValueError(
                 "num_envs*rollout_len must be divisible by num_minibatches")
+        n = self.num_envs * self.rollout_len
+        if self.shuffle_block < 1 or n % self.shuffle_block:
+            raise ValueError("shuffle_block must divide num_envs*rollout_len")
+        if (n // self.num_minibatches) % self.shuffle_block:
+            raise ValueError("shuffle_block must divide the minibatch size")
 
 
 @struct.dataclass
@@ -156,8 +169,16 @@ def make_ppo(cfg: PPOConfig, mesh=None, model_axis: str = "model"):
 
         def epoch(carry, key_e):
             params, opt_state = carry
-            perm = jax.random.permutation(key_e, n)
-            shuf = jax.tree.map(lambda x: x[perm], flat)
+            blk = cfg.shuffle_block
+            if blk > 1:
+                nb = n // blk
+                perm = jax.random.permutation(key_e, nb)
+                shuf = jax.tree.map(
+                    lambda x: x.reshape((nb, blk) + x.shape[1:])[perm]
+                    .reshape(x.shape), flat)
+            else:
+                perm = jax.random.permutation(key_e, n)
+                shuf = jax.tree.map(lambda x: x[perm], flat)
 
             def minibatch(c, i):
                 p, o = c
