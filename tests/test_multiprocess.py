@@ -75,7 +75,8 @@ def _free_port() -> int:
 
 
 def _run_worker_pair(script_path, tmp_path, timeout: float,
-                     attempts: int = 3, n_workers: int = 2) -> list:
+                     attempts: int = 3, n_workers: int = 2,
+                     extra_args: tuple = ()) -> list:
     """Launch ``n_workers`` controllers; retry on a *hang* (workers alive but
     stuck past the deadline with rc unset).
 
@@ -97,7 +98,7 @@ def _run_worker_pair(script_path, tmp_path, timeout: float,
         port = _free_port()
         procs = [subprocess.Popen(
             [sys.executable, str(script_path), str(pid), str(n_workers),
-             str(port), str(tmp_path)],
+             str(port), str(tmp_path), *extra_args],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env) for pid in range(n_workers)]
         outs, timed_out = [], False
@@ -194,11 +195,14 @@ from gym_simpletetris_tpu import EnvConfig
 from gym_simpletetris_tpu.train.dqn import DQNConfig, make_train
 
 mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), (DATA_AXIS, "model"))
+layout = sys.argv[5] if len(sys.argv) > 5 else "legacy"
 cfg = DQNConfig(
     env=EnvConfig(obs_type="ram", auto_reset=True, reward_step=True,
                   width=6, height=8),
     num_envs=16, buffer_capacity=256, learn_batch=16, learn_starts=32,
-    target_update_period=5)
+    target_update_period=5,
+    frame_stack=2 if layout != "legacy" else 1,
+    frame_ring=layout != "legacy", ring_stacks=layout == "obs-ring")
 init_fn, _, chunk_fn, _ = make_train(cfg, mesh=mesh)
 state = init_fn(jax.random.PRNGKey(7))
 # ONE scan-fused 40-step chunk dispatch (the deployment shape), not 40 step
@@ -220,12 +224,15 @@ print(f"learner worker {pid} ok", flush=True)
 """ % {"repo": REPO}
 
 
-def test_two_process_dqn_train_step(tmp_path):
+@pytest.mark.parametrize("layout", ["legacy", "obs-ring"])
+def test_two_process_dqn_train_step(tmp_path, layout):
     """The full actor-learner (BASELINE config 5 shape): 2 controller
     processes x 4 fake devices run a 40-step mesh-aware DQN train chunk
     (DP x TP via make_train(cfg, mesh=...)); both controllers' final params
     must agree bitwise with each other and match a single-process run of the
-    identical program to float-reduction tolerance (rtol=1e-5).
+    identical program to float-reduction tolerance (rtol=1e-5). Runs for
+    both the legacy replay layout and the round-4 obs-ring flagship layout
+    (with frame stacking).
 
     The single-process golden runs FIRST and its wall time calibrates the
     worker deadline for this host's current speed/load (the workers run the
@@ -245,7 +252,9 @@ def test_two_process_dqn_train_step(tmp_path):
         env=EnvConfig(obs_type="ram", auto_reset=True, reward_step=True,
                       width=6, height=8),
         num_envs=16, buffer_capacity=256, learn_batch=16, learn_starts=32,
-        target_update_period=5)
+        target_update_period=5,
+        frame_stack=2 if layout != "legacy" else 1,
+        frame_ring=layout != "legacy", ring_stacks=layout == "obs-ring")
     init_fn, _, chunk_fn, _ = make_train(cfg, mesh=mesh)
     state = init_fn(jax.random.PRNGKey(7))
     state, _ = chunk_fn(state, 40)
@@ -258,7 +267,8 @@ def test_two_process_dqn_train_step(tmp_path):
     script.write_text(LEARNER_WORKER)
     # adaptive deadline: 2 concurrent uncached workers on a loaded host need a
     # multiple of the just-measured single-process time, never less than 240 s
-    _run_worker_pair(script, tmp_path, timeout=max(240.0, 25.0 * t_golden))
+    _run_worker_pair(script, tmp_path, timeout=max(240.0, 25.0 * t_golden),
+                     extra_args=(layout,))
 
     p0 = np.load(tmp_path / "params_0.npy")
     p1 = np.load(tmp_path / "params_1.npy")
