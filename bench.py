@@ -7,9 +7,10 @@ Prints exactly ONE JSON line to stdout (the ram headline, carrying a
    "regressed": false}
 and, by default, one JSON line per obs type (ram, grayscale, rgb), the ram
 B=16384 record config, the two delivered-f32 materialization configs, and
-the flagship Rainbow trainer at its canonical le=4 point to stderr so the
-driver artifact captures them too — each with a ``floor`` (round-record
-minus jitter margin) and per-line ``regressed`` flag.
+one line per trainer family — the flagship Rainbow conv at its canonical
+le=4 point, PPO ram at 1024x64 with shuffle_block=64, and ES at 1024x8 —
+to stderr so the driver artifact captures them too, each with a ``floor``
+(round-record minus jitter margin) and per-line ``regressed`` flag.
 
 vs_baseline compares against the reference implementation measured in
 BASELINE.md (single-process Python on CPU): 22,500 steps/s for obs_type=ram,
@@ -74,7 +75,18 @@ FLOORS = {
     # (256 envs, learn_every=4, obs-ring layout): round-4 record 369k;
     # floor = the round-3 verdict's own >=330k target for this axis
     "train_env_steps_per_sec_flagship_le4": 330e3,
+    # PPO ram at the canonical 1024x64 / 2 epochs x 8 minibatches point with
+    # shuffle_block=64 (the 10M-north-star configuration, BENCH_LOCAL round
+    # 4-5) and ES at its 1024-member x 8-envs record shape — the round-4
+    # verdict's "records must live where the driver captures them" rule
+    "train_env_steps_per_sec_ppo_ram_block64": 8.2e6,
+    "train_env_steps_per_sec_es_1024x8": 38e6,
 }
+# Floor provenance: each floor is the best driver/BENCH_LOCAL record for its
+# metric minus a ~13% dispatch-jitter margin. tests/test_perf_canary.py::
+# test_bench_floors_below_recorded_values ties these constants to the
+# checked-in BENCH_r0N.json artifacts so a stale floor fails the CPU suite
+# instead of silently loosening the regression verdict.
 
 
 def bench_flagship_trainer() -> dict:
@@ -115,6 +127,76 @@ def bench_flagship_trainer() -> dict:
                     "replay_layout": "obs-ring",
                     "features": "PER+3step+dueling+C51+noisy+stack4",
                     "loss": round(float(np.asarray(m["loss"])), 4),
+                    "device": str(jax.devices()[0]).replace(" ", "_")},
+    }
+
+
+def bench_ppo_trainer() -> dict:
+    """Driver-artifact line for the PPO family at its canonical ram point
+    (1024 envs x 64 rollout, 2 epochs x 8 minibatches) with the recommended
+    vectorized-run ``shuffle_block=64`` (BENCH_LOCAL round 4: +74% over the
+    exact row shuffle, learning-equivalent across 3 seeds). Strict sync."""
+    from gym_simpletetris_tpu.train.ppo import PPOConfig, make_ppo
+
+    cfg = PPOConfig(
+        env=EnvConfig(obs_type="ram", auto_reset=True,
+                      reward_step=True, penalise_holes=True),
+        num_envs=1024, rollout_len=64, epochs=2, num_minibatches=8,
+        shuffle_block=64)
+    init_fn, update_fn, _ = make_ppo(cfg)
+    state = init_fn(jax.random.PRNGKey(0))
+    upd = jax.jit(update_fn)
+    state, m = upd(state)                # compile + warm
+    state, m = upd(state)
+    np.asarray(m["pg_loss"])             # sync
+    n_upd = 20
+    sps = 0.0
+    for _pass in range(2):               # best-of-2 (dispatch jitter)
+        t0 = time.perf_counter()
+        for _ in range(n_upd):
+            state, m = upd(state)
+        np.asarray(m["pg_loss"])         # sync AFTER the last queued update
+        sps = max(sps, n_upd * cfg.num_envs * cfg.rollout_len
+                  / (time.perf_counter() - t0))
+    return {
+        "metric": "train_env_steps_per_sec_ppo_ram_block64",
+        "value": round(sps, 1), "unit": "env_steps/s",
+        "vs_baseline": round(sps / REF_BASELINE["ram"], 1),
+        "_detail": {"num_envs": 1024, "rollout_len": 64,
+                    "epochs_x_minibatches": "2x8", "shuffle_block": 64,
+                    "pg_loss": round(float(np.asarray(m["pg_loss"])), 4),
+                    "device": str(jax.devices()[0]).replace(" ", "_")},
+    }
+
+
+def bench_es_trainer() -> dict:
+    """Driver-artifact line for the ES family at its record shape
+    (pop 1024 x 8 envs/member, horizon 256 — BENCH_LOCAL round 4: 45.7M
+    env-steps/s incl. the full generation update). Strict sync."""
+    from gym_simpletetris_tpu.train.es import ESConfig, make_es
+
+    cfg = ESConfig(pop_size=1024, envs_per_member=8, horizon=256)
+    init_fn, gen_fn, _ = make_es(cfg)
+    state = init_fn(jax.random.PRNGKey(0))
+    gen = jax.jit(gen_fn)
+    state, m = gen(state)                # compile + warm
+    state, m = gen(state)
+    np.asarray(m["fitness_mean"])        # sync
+    n_gen = 3
+    steps_per_gen = cfg.pop_size * cfg.envs_per_member * cfg.horizon
+    sps = 0.0
+    for _pass in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n_gen):
+            state, m = gen(state)
+        np.asarray(m["fitness_mean"])    # sync AFTER the last queued gen
+        sps = max(sps, n_gen * steps_per_gen / (time.perf_counter() - t0))
+    return {
+        "metric": "train_env_steps_per_sec_es_1024x8",
+        "value": round(sps, 1), "unit": "env_steps/s",
+        "vs_baseline": round(sps / REF_BASELINE["ram"], 1),
+        "_detail": {"pop_size": 1024, "envs_per_member": 8, "horizon": 256,
+                    "fitness_mean": round(float(np.asarray(m["fitness_mean"])), 3),
                     "device": str(jax.devices()[0]).replace(" ", "_")},
     }
 
@@ -245,10 +327,14 @@ def main():
                 any_regressed |= r.get("regressed", False)
                 print(json.dumps(r), file=sys.stderr, flush=True)
         if not args.no_train:
-            # flagship trainer line (the only non-env metric in the artifact)
-            r = _apply_floor(bench_flagship_trainer())
-            any_regressed |= r.get("regressed", False)
-            print(json.dumps(r), file=sys.stderr, flush=True)
+            # trainer lines: flagship Rainbow conv, PPO ram, ES — one floored
+            # line per trainer family so none of the three records can
+            # regress outside the driver artifact
+            for fn in (bench_flagship_trainer, bench_ppo_trainer,
+                       bench_es_trainer):
+                r = _apply_floor(fn())
+                any_regressed |= r.get("regressed", False)
+                print(json.dumps(r), file=sys.stderr, flush=True)
         headline = results["ram"]
         # headline verdict covers EVERY metric measured this run
         headline["regressed"] = any_regressed

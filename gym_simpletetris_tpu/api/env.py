@@ -164,6 +164,12 @@ def step_fn(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
                                               out.done)
     obs = build_observation(cfg, emitted)
     info = make_info(new_state)
+    # lines cleared THIS step, computed before the auto-reset mask zeroes the
+    # per-episode counter (tetris_env.py:307-311): without it, lines cleared
+    # on a death step — and any episode's final count under auto_reset — are
+    # unrecoverable from the reset-masked ``info["lines_cleared"]``. Additive
+    # key (the reference's get_info has no per-step delta, tetris_env.py:232).
+    info["lines_delta"] = out.state.lines_cleared - state.lines_cleared
     return obs, new_state, out.reward, out.done, info
 
 

@@ -57,6 +57,12 @@ class EpisodeStatsState:
     last_return: jnp.ndarray   # float32[B] return of last finished episode
     last_length: jnp.ndarray   # int32[B]
     episodes: jnp.ndarray      # int32[B]
+    ep_lines: jnp.ndarray      # int32[B] lines cleared this episode
+    last_lines: jnp.ndarray    # int32[B] lines of last finished episode
+    total_lines: jnp.ndarray   # int32[B] lines cleared across ALL episodes
+    #   (accumulated from info["lines_delta"], so lines cleared on a death
+    #   step and past auto-resets are counted — the raw env_state counter
+    #   only covers the in-progress episode)
 
 
 class EpisodeStats:
@@ -72,19 +78,24 @@ class EpisodeStats:
         b = self.env.batch_size
         z = jnp.zeros((b,), jnp.float32)
         zi = jnp.zeros((b,), jnp.int32)
-        return obs, EpisodeStatsState(state, z, zi, z, zi, zi)
+        return obs, EpisodeStatsState(state, z, zi, z, zi, zi, zi, zi, zi)
 
     def step(self, es: EpisodeStatsState, action):
         obs, state, reward, done, info = self.env.step(es.env_state, action)
         ret = es.ep_return + reward
         length = es.ep_length + 1
+        lines = es.ep_lines + info["lines_delta"]
         new = EpisodeStatsState(
             env_state=state,
             ep_return=jnp.where(done, 0.0, ret),
             ep_length=jnp.where(done, 0, length),
             last_return=jnp.where(done, ret, es.last_return),
             last_length=jnp.where(done, length, es.last_length),
-            episodes=es.episodes + done.astype(jnp.int32))
+            episodes=es.episodes + done.astype(jnp.int32),
+            ep_lines=jnp.where(done, 0, lines),
+            last_lines=jnp.where(done, lines, es.last_lines),
+            total_lines=es.total_lines + info["lines_delta"])
         info = dict(info, episode_return=new.last_return,
-                    episode_length=new.last_length, episodes=new.episodes)
+                    episode_length=new.last_length, episodes=new.episodes,
+                    episode_lines=new.last_lines)
         return obs, new, reward, done, info

@@ -75,6 +75,18 @@ class DQNConfig:
                           # exploration by parameter noise resampled every
                           # actor step and learner forward; epsilon-greedy is
                           # disabled (Rainbow's convention).
+    noisy_shared_selection: bool = False  # share ONE noise draw between the
+                          # online loss forward and the double-DQN
+                          # action-selection forward (the target net keeps
+                          # its own): XLA then materializes the online noisy
+                          # weights once instead of twice per learner step —
+                          # the generation is batch-independent flat cost
+                          # (~0.08 ms/forward, BENCH_LOCAL round 4).
+                          # Algorithm delta: a* is picked by the same
+                          # perturbed net being trained that step (several
+                          # public Rainbow implementations do exactly this);
+                          # A/B'd at the flagship point in BENCH_LOCAL
+                          # round 5 before being offered.
     learn_every: int = 1  # actor steps per learner update (Rainbow uses 4;
                           # with a batched actor each "actor step" is already
                           # num_envs transitions, so the default stays 1 —
@@ -290,11 +302,13 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
             alive = alive * (1.0 - done_seq[j].astype(jnp.float32))
         discount = (cfg.gamma ** cfg.n_step) * alive
         done_any = done_seq.any(axis=0)
-        return (window["obs"][0].astype(jnp.float32), window["action"][0],
+        return (window["obs"][0], window["action"][0],
                 ret, next_obs_t, discount, done_any)
 
     def td_loss(params, target_params, batch, weights, nkey):
         k1, k2, k3 = jax.random.split(nkey, 3)
+        if cfg.noisy_shared_selection:
+            k3 = k1   # one online noise draw: XLA CSEs the two weight gens
         q = apply_net(params, batch["obs"], k1)                       # [B, A]
         q_sel = jnp.take_along_axis(q, batch["action"][:, None], 1)[:, 0]
         q_next_t = apply_net(target_params, batch["next_obs"], k2)    # [B, A]
@@ -319,6 +333,8 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
         projection needs no separate done handling. The per-sample
         cross-entropy doubles as the PER priority signal (Rainbow's choice)."""
         k1, k2, k3 = jax.random.split(nkey, 3)
+        if cfg.noisy_shared_selection:
+            k3 = k1   # one online noise draw: XLA CSEs the two weight gens
         logits = apply_net(params, batch["obs"], k1)          # [B, A, n]
         logp = jax.nn.log_softmax(logits, axis=-1)
         logp_a = jnp.take_along_axis(
@@ -344,9 +360,12 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
 
     def _actor_half(state: DQNState):
         """One env interaction + replay insert; no learner. Returns the
-        advanced state plus what the learner half needs."""
+        advanced state, the learner half's keys, and the per-step actor
+        metrics (emitted every step, unlike learner metrics — see
+        ``train_chunk_fn``)."""
         k_eps, k_act, k_sample, k_nact, k_nlearn, key = jax.random.split(
             state.key, 6)
+        eps_metric = (jnp.zeros(()) if cfg.noisy else epsilon(state.step))
 
         if cfg.frame_ring:
             # write this step's observation row (raw frame, or the
@@ -372,8 +391,8 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
                        < epsilon(state.step))
             action = jnp.where(explore, rand_a, greedy)
 
-        raw_next, env_state, reward, done, _ = step_fn(ecfg, state.env_state,
-                                                       action)
+        raw_next, env_state, reward, done, info = step_fn(ecfg, state.env_state,
+                                                          action)
         if cfg.frame_ring:
             replay = frame_ring_insert_step(replay0, action, reward, done)
             raw_u8 = raw_next.astype(jnp.uint8)
@@ -396,73 +415,84 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
         state = state.replace(replay=replay, env_state=env_state,
                               obs=next_obs, key=key, step=state.step + 1,
                               window=window)
-        return state, (k_sample, k_nlearn, reward, done)
+        actor_metrics = {
+            "mean_reward": reward.mean(),
+            "episodes_done": done.sum().astype(jnp.float32),
+            "lines_cleared": info["lines_delta"].sum().astype(jnp.float32),
+            "epsilon": eps_metric,
+        }
+        return state, (k_sample, k_nlearn, actor_metrics)
 
-    def _learner_half(state: DQNState, k_sample, k_nlearn, reward, done):
-        replay = state.replay
+    _LEARNER_ZEROS = {"loss": jnp.zeros(()), "mean_q": jnp.zeros(()),
+                      "td_abs_err": jnp.zeros(())}
 
-        # -- learner: one TD step once the buffer has warmed up -----------------
-        can_learn = replay.filled >= cfg.learn_starts
+    def _learner_half(state: DQNState, k_sample, k_nlearn):
+        """One TD step once the buffer has warmed up. The warm-up gate is a
+        ``lax.cond`` (round 5): before learn_starts the whole learner —
+        sampling, forwards, backward, optimizer — is skipped at runtime, and
+        after warm-up the update writes params/opt_state/replay directly
+        instead of through the per-leaf masked ``jnp.where`` passes the
+        round-4 code paid every learner step (~44 MB of param/Adam state x 3
+        extra read/write passes; the target sync is likewise a nested cond,
+        costing its 15 MB copy only on the 1-in-target_update_period step)."""
+        can_learn = state.replay.filled >= cfg.learn_starts
         if cfg.frame_ring:
             # a frame-ring slot is sampleable only once its k-1 predecessors
             # and n successors exist
-            can_learn &= replay.valid_slots > 0
-        if cfg.prioritized:
-            frac = jnp.clip(
-                state.learn_steps.astype(jnp.float32) / cfg.per_beta_steps,
-                0, 1)
-            beta = cfg.per_beta0 + (1.0 - cfg.per_beta0) * frac
-            sample_p = (frame_ring_sample_prioritized if cfg.frame_ring
-                        else replay_sample_prioritized)
-            batch, per_idx, weights = sample_p(
-                replay, k_sample, cfg.learn_batch, beta)
-        else:
-            sample_u = (frame_ring_sample if cfg.frame_ring
-                        else replay_sample)
-            batch = sample_u(replay, k_sample, cfg.learn_batch)
-            weights = jnp.ones((cfg.learn_batch,), jnp.float32)
-        (loss, (err, q_sel)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.target_params,
-                                   batch, weights, k_nlearn)
-        if cfg.prioritized:
-            new_prio = replay_update_priority(replay, per_idx, err,
-                                              cfg.per_alpha, cfg.per_eps)
-            replay = jax.tree.map(
-                lambda new, old: jnp.where(can_learn, new, old),
-                new_prio, replay)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        params = jax.tree.map(
-            lambda new, old: jnp.where(can_learn, new, old),
-            new_params, state.params)
-        opt_state = jax.tree.map(
-            lambda new, old: jnp.where(can_learn, new, old),
-            opt_state, state.opt_state)
-        learn_steps = state.learn_steps + can_learn.astype(jnp.int32)
+            can_learn &= state.replay.valid_slots > 0
 
-        # -- periodic target sync ----------------------------------------------
-        sync = can_learn & (learn_steps % cfg.target_update_period == 0)
-        target_params = jax.tree.map(
-            lambda t, p: jnp.where(sync, p, t), state.target_params, params)
+        def do_learn(state):
+            replay = state.replay
+            if cfg.prioritized:
+                frac = jnp.clip(
+                    state.learn_steps.astype(jnp.float32) / cfg.per_beta_steps,
+                    0, 1)
+                beta = cfg.per_beta0 + (1.0 - cfg.per_beta0) * frac
+                sample_p = (frame_ring_sample_prioritized if cfg.frame_ring
+                            else replay_sample_prioritized)
+                batch, per_idx, weights = sample_p(
+                    replay, k_sample, cfg.learn_batch, beta)
+            else:
+                sample_u = (frame_ring_sample if cfg.frame_ring
+                            else replay_sample)
+                batch = sample_u(replay, k_sample, cfg.learn_batch)
+                weights = jnp.ones((cfg.learn_batch,), jnp.float32)
+            (loss, (err, q_sel)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.target_params,
+                                       batch, weights, k_nlearn)
+            if cfg.prioritized:
+                replay = replay_update_priority(replay, per_idx, err,
+                                                cfg.per_alpha, cfg.per_eps)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            learn_steps = state.learn_steps + 1
 
-        metrics = {
-            "loss": jnp.where(can_learn, loss, 0.0),
-            "mean_q": q_sel.mean(),
-            "mean_reward": reward.mean(),
-            "episodes_done": done.sum().astype(jnp.float32),
-            # the actor half already advanced step; report its pre-act value
-            "epsilon": (jnp.zeros(()) if cfg.noisy
-                        else epsilon(state.step - 1)),
-            "td_abs_err": jnp.abs(err).mean(),
-        }
-        new_state = state.replace(
-            params=params, target_params=target_params, opt_state=opt_state,
-            replay=replay, learn_steps=learn_steps)
-        return new_state, metrics
+            # -- periodic target sync (cond: copy only when it fires) -------
+            sync = learn_steps % cfg.target_update_period == 0
+            target_params = jax.lax.cond(
+                sync, lambda p, t: p, lambda p, t: t,
+                params, state.target_params)
+
+            metrics = {
+                "loss": loss,
+                "mean_q": q_sel.mean(),
+                "td_abs_err": jnp.abs(err).mean(),
+            }
+            new_state = state.replace(
+                params=params, target_params=target_params,
+                opt_state=opt_state, replay=replay, learn_steps=learn_steps)
+            return new_state, metrics
+
+        def no_learn(state):
+            return state, _LEARNER_ZEROS
+
+        return jax.lax.cond(can_learn, do_learn, no_learn, state)
 
     def train_step_fn(state: DQNState):
-        state, (k_sample, k_nlearn, reward, done) = _actor_half(state)
-        return _learner_half(state, k_sample, k_nlearn, reward, done)
+        state, (k_sample, k_nlearn, actor_m) = _actor_half(state)
+        state, learner_m = _learner_half(state, k_sample, k_nlearn)
+        return state, {**actor_m, **learner_m}
 
     def train_chunk_fn(state: DQNState, n: int, unroll: int = 1):
         """``n`` actor steps; one learner update per ``cfg.learn_every`` of
@@ -482,24 +512,24 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
                              f"learn_every={le}")
 
         def body(s, do_learn):
-            s, (k_sample, k_nlearn, reward, done) = _actor_half(s)
+            s, (k_sample, k_nlearn, actor_m) = _actor_half(s)
             if le == 1:
-                return _learner_half(s, k_sample, k_nlearn, reward, done)
-            zeros = jax.tree.map(
-                jnp.zeros_like,
-                jax.eval_shape(_learner_half, s, k_sample, k_nlearn,
-                               reward, done)[1])
-            return jax.lax.cond(
-                do_learn, _learner_half,
-                lambda st, *_: (st, zeros),
-                s, k_sample, k_nlearn, reward, done)
+                s, learner_m = _learner_half(s, k_sample, k_nlearn)
+            else:
+                s, learner_m = jax.lax.cond(
+                    do_learn, _learner_half,
+                    lambda st, *_: (st, _LEARNER_ZEROS),
+                    s, k_sample, k_nlearn)
+            return s, {**actor_m, **learner_m}
 
         flags = (jnp.arange(n, dtype=jnp.int32) % le) == (le - 1)
         state, ms = jax.lax.scan(body, state, flags, unroll=unroll)
-        # metrics are emitted only on learner steps: mean over those
-        state_out, metrics = state, jax.tree.map(
-            lambda x: x.sum(axis=0) / (n // le), ms)
-        return state_out, metrics
+        # actor metrics are emitted every step (mean over n; episode/line
+        # counts stay per-step rates); learner metrics only on learner steps
+        # (mean over the n//le of them)
+        denom = {k: (n // le if k in _LEARNER_ZEROS else n) for k in ms}
+        metrics = {k: v.sum(axis=0) / denom[k] for k, v in ms.items()}
+        return state, metrics
 
     if mesh is None:
         return init_fn, train_step_fn, train_chunk_fn, network

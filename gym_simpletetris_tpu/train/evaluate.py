@@ -30,11 +30,17 @@ def evaluate_policy(env: TetrisVectorEnv, action_fn, steps: int, seed: int) -> d
     rets = np.asarray(state.last_return)
     lens = np.asarray(state.last_length)
     mask = eps > 0
+    # total_lines spans ALL episodes (EpisodeStats accumulates the per-step
+    # info["lines_delta"], which survives auto-reset and death-step clears —
+    # the raw env_state counter only covers in-progress episodes)
+    total_lines = int(np.asarray(state.total_lines).sum())
+    n_eps = int(eps.sum())
     return {
-        "episodes": int(eps.sum()),
+        "episodes": n_eps,
         "mean_return": round(float(rets[mask].mean()), 2) if mask.any() else None,
         "mean_length": round(float(lens[mask].mean()), 2) if mask.any() else None,
-        "total_lines": int(np.asarray(state.env_state.lines_cleared).sum()),
+        "total_lines": total_lines,
+        "lines_per_episode": round(total_lines / n_eps, 3) if n_eps else None,
         "total_deaths": int(np.asarray(state.env_state.deaths).sum()),
     }
 

@@ -57,6 +57,11 @@ class PPOConfig:
             raise ValueError("shuffle_block must divide num_envs*rollout_len")
         if (n // self.num_minibatches) % self.shuffle_block:
             raise ValueError("shuffle_block must divide the minibatch size")
+        if self.num_envs % self.shuffle_block:
+            # blocks that straddle timestep boundaries would break the
+            # same-timestep mixing argument the block shuffle's learning
+            # equivalence rests on (see the shuffle_block field comment)
+            raise ValueError("shuffle_block must divide num_envs")
 
 
 @struct.dataclass
@@ -105,7 +110,7 @@ def make_ppo(cfg: PPOConfig, mesh=None, model_axis: str = "model"):
             action = jax.random.categorical(key_t, logits).astype(jnp.int32)
             logp = jax.nn.log_softmax(logits)[
                 jnp.arange(obs.shape[0]), action]
-            nobs, nstate, reward, done, _ = step_fn(ecfg, env_state, action)
+            nobs, nstate, reward, done, info = step_fn(ecfg, env_state, action)
             # store obs flattened uint8 (exact: env values fit the palette):
             # TPU tiles the trailing two axes of stacked buffers to (8,128)
             # multiples, so [T, B, 10, 20] f32 would pad ~20x and the epoch
@@ -114,7 +119,10 @@ def make_ppo(cfg: PPOConfig, mesh=None, model_axis: str = "model"):
             out = dict(obs=obs.reshape(obs.shape[0], -1).astype(jnp.uint8),
                        action=action, logp=logp, value=value,
                        reward=reward * cfg.reward_scale,
-                       done=done.astype(jnp.float32))
+                       done=done.astype(jnp.float32),
+                       # per-step line clears (info["lines_delta"] survives
+                       # auto-reset) — metrics only, not a learner input
+                       lines=info["lines_delta"].astype(jnp.float32))
             return (nstate, nobs), out
 
         keys = jax.random.split(jax.random.fold_in(
@@ -203,6 +211,7 @@ def make_ppo(cfg: PPOConfig, mesh=None, model_axis: str = "model"):
         metrics = jax.tree.map(lambda x: x.mean(), auxs)
         metrics["mean_reward"] = traj["reward"].mean() / cfg.reward_scale
         metrics["episodes_done"] = traj["done"].sum()
+        metrics["lines_cleared"] = traj["lines"].sum()
         new_state = PPOState(params=params, opt_state=opt_state,
                              env_state=env_state, obs=obs, key=state.key,
                              update=state.update + 1)

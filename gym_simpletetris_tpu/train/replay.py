@@ -152,8 +152,11 @@ def _gather_batch(rs: ReplayState, idx: jnp.ndarray) -> dict:
         return jnp.take(buf.reshape((cap,) + buf.shape[2:]), idx, axis=0)
 
     def take_obs(buf):
-        return take(buf).reshape((idx.shape[0],) + rs.obs_shape).astype(
-            jnp.float32)
+        # stays uint8: the palette values are integer-exact and the Q-net
+        # casts on the way in (x.astype(dtype)/255), so materializing a f32
+        # copy here would only add 4x the HBM write traffic at the sample
+        # boundary (2 x [batch, 84*84*k] rows at the flagship point)
+        return take(buf).reshape((idx.shape[0],) + rs.obs_shape)
 
     return {
         "obs": take_obs(rs.obs),
@@ -470,9 +473,11 @@ def _frame_ring_batch(rs: FrameRingState, slot, env) -> dict:
     run_flat = (None if rs.frame_stack == 1 or rs.stacked
                 else _run_length_grid(rs).reshape(S * B))
     return {
-        "obs": _ring_stack(rs, slot, env, run_flat).astype(jnp.float32),
-        "next_obs": _ring_stack(rs, (slot + n) % S, env,
-                                run_flat).astype(jnp.float32),
+        # uint8 (see _gather_batch.take_obs): the consumer's cast fuses into
+        # the conv stem; a f32 copy here cost ~0.2 ms/learner step at the
+        # flagship point (BENCH_LOCAL round 5)
+        "obs": _ring_stack(rs, slot, env, run_flat),
+        "next_obs": _ring_stack(rs, (slot + n) % S, env, run_flat),
         "action": jnp.take(rs.action.reshape(S * B), fidx,
                            axis=0).astype(jnp.int32),
         "reward": jnp.take(ret_g.reshape(S * B), fidx, axis=0),
@@ -483,7 +488,12 @@ def _frame_ring_batch(rs: FrameRingState, slot, env) -> dict:
 
 
 def frame_ring_sample(rs: FrameRingState, key, batch: int):
-    """Uniform sample over the valid age window [n_step, filled-k]."""
+    """Uniform sample over the valid age window [n_step, filled-k].
+
+    Precondition: ``rs.valid_slots > 0``. With an under-filled ring the age
+    clamp lands on unfilled (True-done, zero-frame) slots and the returned
+    transitions are garbage — no error is raised on device. Gate calls the
+    way train/dqn.py does (``can_learn &= replay.valid_slots > 0``)."""
     kb, ks = jax.random.split(key)
     m = rs.n_step + jax.random.randint(
         ks, (batch,), 0, jnp.maximum(rs.valid_slots, 1))
@@ -501,7 +511,10 @@ def _frame_ring_valid_mask(rs: FrameRingState) -> jnp.ndarray:
 def frame_ring_sample_prioritized(rs: FrameRingState, key, batch: int, beta):
     """Priority-proportional sample with replacement over the valid window —
     the same two-level inverse-CDF as the stacked ring, with the grid masked
-    to sampleable ages."""
+    to sampleable ages.
+
+    Precondition: ``rs.valid_slots > 0`` (same silent-garbage failure mode
+    as :func:`frame_ring_sample`; gate like train/dqn.py does)."""
     bw, sl = rs.width, rs.slots
     grid = jnp.where(_frame_ring_valid_mask(rs)[:, None], rs.priority, 0.0)
     s_slot = grid.sum(axis=1)

@@ -109,7 +109,18 @@ def main(argv=None):
     import os
     if args.resume and args.ckpt and os.path.exists(args.ckpt):
         from ..utils.checkpoint import restore_checkpoint
-        state = restore_checkpoint(args.ckpt, target=state)
+        try:
+            state = restore_checkpoint(args.ckpt, target=state)
+        except (ValueError, KeyError, TypeError) as e:
+            # the replay ring's pytree structure differs per layout, so a
+            # layout mismatch surfaces as an opaque orbax structure error —
+            # translate it (the checkpoint itself doesn't record the layout)
+            raise SystemExit(
+                f"--resume failed restoring {args.ckpt!r} into a "
+                f"'{args.replay_layout}' replay layout: the checkpoint was "
+                f"likely saved under a different --replay-layout "
+                f"(legacy / frame-ring / obs-ring). Re-run with the layout "
+                f"it was trained with. Underlying error: {e}")
         print(json.dumps({"resumed_from": args.ckpt,
                           "actor_steps": int(state.step)}), flush=True)
     chunk_jit = jax.jit(lambda s: chunk_fn(s, args.chunk))

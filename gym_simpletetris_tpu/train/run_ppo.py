@@ -27,9 +27,15 @@ def parse_args(argv=None):
                    default=True)
     p.add_argument("--penalise-holes", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--advanced-clears", action="store_true",
+                   help="NES-table clear rewards (100/250/750/3000 x 0.01 "
+                        "reward_scale — the line-clear-seeking shaping)")
+    p.add_argument("--penalise-height", action="store_true")
     p.add_argument("--num-envs", type=int, default=1024)
     p.add_argument("--rollout-len", type=int, default=64)
     p.add_argument("--updates", type=int, default=100)
+    p.add_argument("--gamma", type=float, default=0.99)
+    p.add_argument("--reward-scale", type=float, default=0.01)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--minibatches", type=int, default=8)
@@ -55,9 +61,12 @@ def main(argv=None):
     env = EnvConfig(width=args.width, height=args.height, obs_type=args.obs,
                     obs_dtype=args.obs_dtype, auto_reset=True,
                     reward_step=args.reward_step,
-                    penalise_holes=args.penalise_holes)
+                    penalise_holes=args.penalise_holes,
+                    advanced_clears=args.advanced_clears,
+                    penalise_height=args.penalise_height)
     cfg = PPOConfig(env=env, num_envs=args.num_envs,
                     rollout_len=args.rollout_len, lr=args.lr,
+                    gamma=args.gamma, reward_scale=args.reward_scale,
                     epochs=args.epochs, num_minibatches=args.minibatches,
                     entropy_coef=args.entropy_coef,
                     shuffle_block=args.shuffle_block)

@@ -37,9 +37,19 @@ def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     instead of the topology recorded in the checkpoint file
     (tests/test_checkpoint_topology.py)."""
     path = os.path.abspath(path)
-    if target is None:
-        return _ckptr().restore(path)
     import orbax.checkpoint as ocp
+    if target is None:
+        # targetless restore lands on host as plain numpy: build explicit
+        # RestoreArgs from the checkpoint's own metadata so orbax doesn't
+        # fall back to the sharding file (whose "unsafe on a different
+        # topology" warning the CLI eval paths used to emit every restore)
+        import numpy as np
+        meta = _ckptr().metadata(path).item_metadata.tree
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta,
+            is_leaf=lambda m: hasattr(m, "shape"))
+        return _ckptr().restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
     restore_args = ocp.checkpoint_utils.construct_restore_args(target)
     return _ckptr().restore(
         path, args=ocp.args.PyTreeRestore(item=target,

@@ -20,7 +20,8 @@ def test_vector_env_shapes():
     assert done.shape == (3,) and done.dtype == jnp.bool_
     assert info["statistics"].shape == (3, 7)
     assert set(info) == {"time", "current_piece", "score", "lines_cleared",
-                         "holes", "deaths", "statistics"}
+                         "holes", "deaths", "statistics", "lines_delta"}
+    assert info["lines_delta"].shape == (3,)
 
 
 def test_obs_values_are_reference_palette():

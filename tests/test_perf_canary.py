@@ -101,3 +101,42 @@ def test_obs_ring_chunk_cheaper_than_legacy_at_frame_stack():
     legacy = chunk_bytes()
     obs_ring = chunk_bytes(frame_ring=True, ring_stacks=True)
     assert obs_ring < 0.75 * legacy, (obs_ring, legacy)
+
+
+def test_bench_floors_below_recorded_values():
+    """Tie bench.py's hard-coded FLOORS to the checked-in BENCH_r0N.json
+    driver artifacts (ADVICE round 4): every floor must sit below the best
+    value ever recorded for its metric, so a floor edited out of sync with
+    the records fails here instead of silently loosening (or falsely
+    tripping) the driver's regressed verdict. Metrics whose first record
+    lands in a future artifact are skipped until it exists."""
+    import glob
+    import json
+    import os
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, root)
+    try:
+        from bench import FLOORS
+    finally:
+        sys.path.remove(root)
+    best = {}
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r0*.json"))):
+        with open(path) as f:
+            doc = json.load(f)   # driver wrapper: metric lines live in the
+        for line in str(doc.get("tail", "")).splitlines():   # captured tail
+            line = line.strip()
+            if not line.startswith('{"metric"'):
+                continue
+            rec = json.loads(line)
+            m = rec.get("metric")
+            if m in FLOORS:
+                best[m] = max(best.get(m, 0.0), float(rec["value"]))
+    assert best, "no BENCH_r0N.json artifacts found"
+    for metric, floor in FLOORS.items():
+        if metric not in best:
+            continue  # first record for this metric not yet driver-captured
+        assert floor < best[metric], (
+            f"{metric}: floor {floor} >= best recorded {best[metric]} — "
+            f"update FLOORS from the BENCH artifacts")

@@ -43,3 +43,26 @@ def test_episode_stats_requires_auto_reset():
     env = TetrisVectorEnv(EnvConfig(auto_reset=False), 2)
     with pytest.raises(ValueError):
         EpisodeStats(env)
+
+
+def test_episode_stats_counts_lines_across_resets():
+    """total_lines accumulates info["lines_delta"] across auto-resets (the
+    env_state per-episode counter is zeroed by the reset mask,
+    tetris_env.py:307-311, so a state-based sum would undercount)."""
+    env = TetrisVectorEnv(
+        EnvConfig(width=4, height=5, auto_reset=True), 16)
+    es = EpisodeStats(env)
+    obs, state = es.reset(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(3)
+    manual = np.zeros(16, np.int64)
+    for t in range(300):
+        a = jnp.asarray(rng.randint(0, 7, 16))
+        obs, state, r, d, info = es.step(state, a)
+        delta = np.asarray(info["lines_delta"])
+        assert (delta >= 0).all()
+        manual += delta
+    np.testing.assert_array_equal(np.asarray(state.total_lines), manual)
+    # narrow board + random hard drops clear lines within 300 steps; the
+    # accumulated total must exceed the in-progress-episode counter alone
+    assert manual.sum() > 0
+    assert manual.sum() >= int(np.asarray(state.env_state.lines_cleared).sum())
