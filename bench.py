@@ -75,12 +75,17 @@ FLOORS = {
     # (256 envs, learn_every=4, obs-ring layout): round-4 record 369k;
     # floor = the round-3 verdict's own >=330k target for this axis
     "train_env_steps_per_sec_flagship_le4": 330e3,
-    # PPO ram at the canonical 1024x64 / 2 epochs x 8 minibatches point with
-    # shuffle_block=64 (the 10M-north-star configuration, BENCH_LOCAL round
-    # 4-5) and ES at its 1024-member x 8-envs record shape — the round-4
-    # verdict's "records must live where the driver captures them" rule
-    "train_env_steps_per_sec_ppo_ram_block64": 8.2e6,
+    # PPO ram at its swept record shape (2048 envs x 64, 2 epochs x 8
+    # minibatches, shuffle_block=64 — the 10M-north-star configuration,
+    # BENCH_LOCAL rounds 4-5; 9.2M same-session round 5) and ES at its
+    # 1024-member x 8-envs record shape — the round-4 verdict's "records
+    # must live where the driver captures them" rule
+    "train_env_steps_per_sec_ppo_ram_block64": 8.0e6,
     "train_env_steps_per_sec_es_1024x8": 38e6,
+    # flagship at the same operating point with the round-5 recommended
+    # variant (sample_slots + noisy_shared_selection — quality-A/B'd
+    # equivalent, BENCH_LOCAL round 5): record 384-385k
+    "train_env_steps_per_sec_flagship_le4_slots": 350e3,
 }
 # Floor provenance: each floor is the best driver/BENCH_LOCAL record for its
 # metric minus a ~13% dispatch-jitter margin. tests/test_perf_canary.py::
@@ -89,12 +94,15 @@ FLOORS = {
 # instead of silently loosening the regression verdict.
 
 
-def bench_flagship_trainer() -> dict:
+def bench_flagship_trainer(variant: str = "") -> dict:
     """One driver-artifact line for the flagship TRAINER (the env lines
     above cover the environment only): full Rainbow conv DQN — gray-u8 +
     4-frame stack + PER + 3-step + dueling + C51 + noisy — at the canonical
     256-env / learn_every=4 point on the obs-ring replay layout
-    (BENCH_LOCAL round 4). Strict end-of-run host-fetch sync."""
+    (BENCH_LOCAL round 4). ``variant="slots"`` additionally enables the
+    round-5 recommended pair (slot-row sampling + shared online noise
+    draw — quality-A/B'd learning-equivalent, BENCH_LOCAL round 5).
+    Strict end-of-run host-fetch sync."""
     from gym_simpletetris_tpu.train.dqn import DQNConfig, make_train
 
     cfg = DQNConfig(
@@ -103,7 +111,9 @@ def bench_flagship_trainer() -> dict:
         num_envs=256, buffer_capacity=65536, learn_batch=512,
         learn_every=4, frame_stack=4, prioritized=True, n_step=3,
         dueling=True, distributional=True, noisy=True,
-        frame_ring=True, ring_stacks=True)
+        frame_ring=True, ring_stacks=True,
+        sample_slots=variant == "slots",
+        noisy_shared_selection=variant == "slots")
     init_fn, _, chunk_fn, _ = make_train(cfg)
     state = init_fn(jax.random.PRNGKey(0))
     chunk = jax.jit(lambda s: chunk_fn(s, 512))
@@ -120,28 +130,32 @@ def bench_flagship_trainer() -> dict:
         sps = max(sps, n_chunks * 512 * cfg.num_envs
                   / (time.perf_counter() - t0))
     return {
-        "metric": "train_env_steps_per_sec_flagship_le4",
+        "metric": "train_env_steps_per_sec_flagship_le4" + (
+            "_slots" if variant == "slots" else ""),
         "value": round(sps, 1), "unit": "env_steps/s",
         "vs_baseline": round(sps / REF_BASELINE["grayscale"], 1),
         "_detail": {"num_envs": 256, "learn_every": 4,
                     "replay_layout": "obs-ring",
-                    "features": "PER+3step+dueling+C51+noisy+stack4",
+                    "features": "PER+3step+dueling+C51+noisy+stack4" + (
+                        "+slot_sampling+shared_noise" if variant == "slots"
+                        else ""),
                     "loss": round(float(np.asarray(m["loss"])), 4),
                     "device": str(jax.devices()[0]).replace(" ", "_")},
     }
 
 
 def bench_ppo_trainer() -> dict:
-    """Driver-artifact line for the PPO family at its canonical ram point
-    (1024 envs x 64 rollout, 2 epochs x 8 minibatches) with the recommended
-    vectorized-run ``shuffle_block=64`` (BENCH_LOCAL round 4: +74% over the
-    exact row shuffle, learning-equivalent across 3 seeds). Strict sync."""
+    """Driver-artifact line for the PPO family at its swept record point
+    (2048 envs x 64 rollout, 2 epochs x 8 minibatches — the envs sweep's
+    optimum, BENCH_LOCAL round 4) with the recommended vectorized-run
+    ``shuffle_block=64`` (round 4: +74% over the exact row shuffle,
+    learning-equivalent across 3 seeds). Strict sync."""
     from gym_simpletetris_tpu.train.ppo import PPOConfig, make_ppo
 
     cfg = PPOConfig(
         env=EnvConfig(obs_type="ram", auto_reset=True,
                       reward_step=True, penalise_holes=True),
-        num_envs=1024, rollout_len=64, epochs=2, num_minibatches=8,
+        num_envs=2048, rollout_len=64, epochs=2, num_minibatches=8,
         shuffle_block=64)
     init_fn, update_fn, _ = make_ppo(cfg)
     state = init_fn(jax.random.PRNGKey(0))
@@ -162,7 +176,7 @@ def bench_ppo_trainer() -> dict:
         "metric": "train_env_steps_per_sec_ppo_ram_block64",
         "value": round(sps, 1), "unit": "env_steps/s",
         "vs_baseline": round(sps / REF_BASELINE["ram"], 1),
-        "_detail": {"num_envs": 1024, "rollout_len": 64,
+        "_detail": {"num_envs": 2048, "rollout_len": 64,
                     "epochs_x_minibatches": "2x8", "shuffle_block": 64,
                     "pg_loss": round(float(np.asarray(m["pg_loss"])), 4),
                     "device": str(jax.devices()[0]).replace(" ", "_")},
@@ -327,11 +341,13 @@ def main():
                 any_regressed |= r.get("regressed", False)
                 print(json.dumps(r), file=sys.stderr, flush=True)
         if not args.no_train:
-            # trainer lines: flagship Rainbow conv, PPO ram, ES — one floored
-            # line per trainer family so none of the three records can
-            # regress outside the driver artifact
-            for fn in (bench_flagship_trainer, bench_ppo_trainer,
-                       bench_es_trainer):
+            # trainer lines: flagship Rainbow conv (exact algorithm + the
+            # round-5 recommended slots variant), PPO ram, ES — floored
+            # lines per trainer family so none of the records can regress
+            # outside the driver artifact
+            for fn in (bench_flagship_trainer,
+                       lambda: bench_flagship_trainer("slots"),
+                       bench_ppo_trainer, bench_es_trainer):
                 r = _apply_floor(fn())
                 any_regressed |= r.get("regressed", False)
                 print(json.dumps(r), file=sys.stderr, flush=True)

@@ -36,9 +36,12 @@ from ..api.env import build_observation, reset_fn, step_fn
 from ..models.dqn import build_q_network
 from .replay import (ReplayState, frame_ring_init, frame_ring_insert_frame,
                      frame_ring_insert_step, frame_ring_sample,
-                     frame_ring_sample_prioritized, frame_ring_stack_newest,
-                     replay_init, replay_insert, replay_sample,
-                     replay_sample_prioritized, replay_update_priority)
+                     frame_ring_sample_prioritized, frame_ring_sample_slots,
+                     frame_ring_sample_slots_prioritized,
+                     frame_ring_stack_newest, replay_init, replay_insert,
+                     replay_sample, replay_sample_prioritized,
+                     replay_sample_slots, replay_sample_slots_prioritized,
+                     replay_update_priority, replay_update_priority_slots)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +111,23 @@ class DQNConfig:
                           # row-gathers; measured the fastest flagship
                           # layout (TPU gathers price per row).
 
+    sample_slots: bool = False  # learner batches are WHOLE replay slot rows
+                          # (learn_batch // num_envs of them) instead of
+                          # per-transition gathers: a slot row is num_envs
+                          # different envs at the same ring age (the replay
+                          # twin of PPO's shuffle_block), so mixing stays
+                          # random-age x all-envs while the obs reads become
+                          # a few contiguous row-gathers and the PER
+                          # write-back a row write — the scattered
+                          # formulations measured 0.63 + 0.24 ms of the
+                          # flagship's 1.32 ms learner step (BENCH_LOCAL
+                          # round 5). With prioritized replay the
+                          # distribution coarsens to slot-level PER
+                          # (stratified: slots ~ summed priority, uniform
+                          # within the row, slot-level importance weights).
+                          # Requires learn_batch % num_envs == 0 and (on the
+                          # frame ring) ring_stacks=True or frame_stack=1.
+
     def __post_init__(self):
         if self.buffer_capacity % self.num_envs:
             raise ValueError("buffer_capacity must be a multiple of num_envs")
@@ -115,6 +135,16 @@ class DQNConfig:
             raise ValueError("learn_every must be >= 1")
         if self.ring_stacks and not self.frame_ring:
             raise ValueError("ring_stacks requires frame_ring=True")
+        if self.sample_slots:
+            if self.learn_batch % self.num_envs:
+                raise ValueError("sample_slots needs learn_batch to be a "
+                                 "multiple of num_envs (whole slot rows)")
+            if self.frame_ring and self.frame_stack > 1 and \
+                    not self.ring_stacks:
+                raise ValueError("sample_slots on the frame ring needs "
+                                 "ring_stacks=True or frame_stack == 1 "
+                                 "(per-env stack clamping would reintroduce "
+                                 "the gathers it removes)")
 
 
 @struct.dataclass
@@ -305,6 +335,14 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
         return (window["obs"][0], window["action"][0],
                 ret, next_obs_t, discount, done_any)
 
+    # NOTE (round 5, measured and rejected): fusing the two ONLINE forwards
+    # (loss obs + double-DQN selection) into one 2B-batch apply via concat
+    # LOST ~60k sps at the flagship le=4 point (375k -> 316k, .jobs/49) —
+    # the [2B, 84, 84, 4] concat materializes a copy that breaks the
+    # gather->conv producer fusion, outweighing the MXU-fill gain. The two
+    # forwards stay separate; ``noisy_shared_selection`` shares only the
+    # noise KEY (XLA CSEs the weight generation, +2%, .jobs/43).
+
     def td_loss(params, target_params, batch, weights, nkey):
         k1, k2, k3 = jax.random.split(nkey, 3)
         if cfg.noisy_shared_selection:
@@ -448,21 +486,35 @@ def make_train(cfg: DQNConfig, mesh=None, model_axis: str = "model"):
                     state.learn_steps.astype(jnp.float32) / cfg.per_beta_steps,
                     0, 1)
                 beta = cfg.per_beta0 + (1.0 - cfg.per_beta0) * frac
-                sample_p = (frame_ring_sample_prioritized if cfg.frame_ring
-                            else replay_sample_prioritized)
+                if cfg.sample_slots:
+                    sample_p = (frame_ring_sample_slots_prioritized
+                                if cfg.frame_ring
+                                else replay_sample_slots_prioritized)
+                else:
+                    sample_p = (frame_ring_sample_prioritized if cfg.frame_ring
+                                else replay_sample_prioritized)
                 batch, per_idx, weights = sample_p(
                     replay, k_sample, cfg.learn_batch, beta)
             else:
-                sample_u = (frame_ring_sample if cfg.frame_ring
-                            else replay_sample)
-                batch = sample_u(replay, k_sample, cfg.learn_batch)
+                if cfg.sample_slots:
+                    sample_u = (frame_ring_sample_slots if cfg.frame_ring
+                                else replay_sample_slots)
+                    batch, _ = sample_u(replay, k_sample, cfg.learn_batch)
+                else:
+                    sample_u = (frame_ring_sample if cfg.frame_ring
+                                else replay_sample)
+                    batch = sample_u(replay, k_sample, cfg.learn_batch)
                 weights = jnp.ones((cfg.learn_batch,), jnp.float32)
             (loss, (err, q_sel)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state.target_params,
                                        batch, weights, k_nlearn)
             if cfg.prioritized:
-                replay = replay_update_priority(replay, per_idx, err,
-                                                cfg.per_alpha, cfg.per_eps)
+                if cfg.sample_slots:
+                    replay = replay_update_priority_slots(
+                        replay, per_idx, err, cfg.per_alpha, cfg.per_eps)
+                else:
+                    replay = replay_update_priority(replay, per_idx, err,
+                                                    cfg.per_alpha, cfg.per_eps)
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.params)
             params = optax.apply_updates(state.params, updates)

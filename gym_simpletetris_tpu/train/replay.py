@@ -218,6 +218,68 @@ def replay_sample_prioritized(rs: ReplayState, key, batch: int, beta):
     return out, idx, w / jnp.maximum(w_max, 1e-12)
 
 
+def _legacy_slot_batch(rs: ReplayState, slot) -> dict:
+    """Whole-slot-row batch for the legacy layout (see
+    :func:`_frame_ring_slot_batch` for the rationale)."""
+    nb, B = slot.shape[0], rs.width
+    S = rs.slots
+    fidx = (slot[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)
+
+    def flat(buf, s=None):
+        # flat gather, slot-contiguous indices (see _frame_ring_slot_batch)
+        idx = fidx if s is None else (
+            s[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)
+        return jnp.take(buf.reshape((S * B,) + buf.shape[2:]), idx, axis=0)
+
+    def obs(buf):
+        return flat(buf).reshape((nb * B,) + rs.obs_shape)
+
+    return {
+        "obs": obs(rs.obs),
+        "next_obs": obs(rs.next_obs),
+        "action": flat(rs.action).astype(jnp.int32),
+        "reward": flat(rs.reward),
+        "discount": flat(rs.discount),
+        "done": flat(rs.done),
+    }
+
+
+def replay_sample_slots(rs: ReplayState, key, batch: int):
+    """Uniform slot-row sample over the filled region (legacy layout)."""
+    nb, rem = divmod(batch, rs.width)
+    if rem:
+        raise ValueError(f"slot-row batch {batch} must be a multiple of the "
+                         f"ring width {rs.width}")
+    slot = jax.random.randint(key, (nb,), 0, jnp.maximum(rs.filled_slots, 1))
+    return _legacy_slot_batch(rs, slot), slot
+
+
+def replay_sample_slots_prioritized(rs: ReplayState, key, batch: int, beta):
+    """Slot-level PER over the filled region (legacy layout); see
+    :func:`frame_ring_sample_slots_prioritized` for the weighting scheme."""
+    nb, rem = divmod(batch, rs.width)
+    if rem:
+        raise ValueError(f"slot-row batch {batch} must be a multiple of the "
+                         f"ring width {rs.width}")
+    B, S = rs.width, rs.slots
+    valid = (jnp.arange(S) < rs.filled_slots)[:, None]
+    grid = jnp.where(valid, rs.priority, 0.0)
+    p_s = grid.sum(axis=1)
+    total = p_s.sum()
+    u = jax.random.uniform(key, (nb,)) * total
+    cum = jnp.cumsum(p_s)
+    slot = jnp.minimum((cum[None, :] <= u[:, None]).sum(axis=1), S - 1)
+    q = jnp.take(p_s, slot) / jnp.maximum(total, 1e-12)
+    n_tr = jnp.maximum(rs.filled, 1).astype(jnp.float32)
+    w_slot = (1.0 / (n_tr * jnp.maximum(q / B, 1e-12))) ** beta
+    w_slot = jnp.where(q > 0, w_slot, 0.0)
+    q_min = jnp.min(jnp.where(p_s > 0, p_s, jnp.inf)) / jnp.maximum(total,
+                                                                    1e-12)
+    w_max = (1.0 / (n_tr * jnp.maximum(q_min / B, 1e-12))) ** beta
+    weights = jnp.repeat(w_slot / jnp.maximum(w_max, 1e-12), B)
+    return _legacy_slot_batch(rs, slot), slot, weights
+
+
 def replay_update_priority(rs, idx, td_abs, alpha: float,
                            eps: float = 1e-3):
     """Write back p = (|delta| + eps)^alpha at the sampled flat indices.
@@ -413,11 +475,17 @@ def _ring_stack(rs: FrameRingState, slot, env, run_flat=None):
     if run_flat is None:
         run_flat = _run_length_grid(rs).reshape(S * B)
     run = jnp.take(run_flat, slot * B + env, axis=0)  # one gather, not k-1
-    frames = [take_at(jnp.zeros_like(slot))]          # j = 0: newest
-    for j in range(1, k):
-        frames.append(take_at(jnp.minimum(j, run)))   # clamp at episode start
-    out = jnp.stack(frames[::-1], axis=-1)            # oldest first
-    return out.reshape((slot.shape[0],) + rs.base_shape + (k,))
+    # merged gather (round 5): ONE take of k*N rows instead of k takes of N
+    # rows — TPU gathers carry a per-gather launch/row-pricing cost, and
+    # merging lifted the single-frame flagship le=4 point 221k -> 276k
+    # env-steps/s (+25%, bitwise-verified vs the k-gather formulation,
+    # .jobs/41). Offsets clamp at the episode start exactly as before.
+    offs = [jnp.minimum(jnp.int32(j), run) for j in range(k)]   # newest j=0
+    idx = jnp.stack([((slot - o) % S) * B + env for o in offs])  # [k, N]
+    out = jnp.take(flat, idx.reshape(-1), axis=0)
+    frames = out.reshape((k, slot.shape[0], flat.shape[1]))
+    stacked = jnp.moveaxis(frames[::-1], 0, -1)                  # oldest first
+    return stacked.reshape((slot.shape[0],) + rs.base_shape + (k,))
 
 
 def frame_ring_stack_newest(rs: FrameRingState) -> jnp.ndarray:
@@ -485,6 +553,130 @@ def _frame_ring_batch(rs: FrameRingState, slot, env) -> dict:
                                                fidx, axis=0),
         "done": jnp.take(done_any_g.reshape(S * B), fidx, axis=0),
     }
+
+
+def _slot_scalar_folds(rs: FrameRingState):
+    """Prefold the n-step return / alive grids once per sample call
+    (shared by the per-transition and slot-row samplers)."""
+    n = rs.n_step
+    ret_g = jnp.zeros(rs.reward.shape, jnp.float32)
+    alive_g = jnp.ones(rs.reward.shape, jnp.float32)
+    done_any_g = jnp.zeros(rs.done.shape, jnp.bool_)
+    for i in range(n):
+        r_i = jnp.roll(rs.reward, -i, axis=0)
+        d_i = jnp.roll(rs.done, -i, axis=0)
+        ret_g = ret_g + (rs.gamma ** i) * alive_g * r_i
+        done_any_g = done_any_g | d_i
+        alive_g = alive_g * (1.0 - d_i.astype(jnp.float32))
+    return ret_g, alive_g, done_any_g
+
+
+def _frame_ring_slot_batch(rs: FrameRingState, slot) -> dict:
+    """Materialize WHOLE slot rows as the learner batch: ``slot`` int32[nb]
+    -> batch of nb * B transitions (row-major). Requires the stacked
+    (obs-ring) layout or frame_stack == 1 — reconstruction-free layouts
+    where a slot row IS the observation.
+
+    This is the replay twin of PPO's ``shuffle_block``: a slot row is B
+    *different envs at the same ring age* (envs are independent), so a batch
+    of whole rows still mixes random ages — while the obs reads become nb
+    row-gathers of [B, F] contiguous bytes instead of ``batch`` scattered
+    row-gathers (TPU gathers price per ROW: the scattered formulation
+    measured 0.63 ms of the flagship's 1.32 ms learner step, job 39 round
+    5). Priority write-back becomes a row write as well.
+    """
+    if not (rs.stacked or rs.frame_stack == 1):
+        raise ValueError("slot-row sampling needs ring_stacks=True or "
+                         "frame_stack == 1 (no per-env stack clamping)")
+    S, B, n, k = rs.slots, rs.width, rs.n_step, rs.frame_stack
+    nb = slot.shape[0]
+    ret_g, alive_g, done_any_g = _slot_scalar_folds(rs)
+    shape = rs.base_shape + ((k,) if rs.stacked and k > 1 else ())
+
+    def rows(buf, s):
+        # flat gather with slot-contiguous indices. NOT jnp.take of rows on
+        # axis 0 (lowered to a full-ring read: 14.5 ms, job 45) and NOT
+        # dynamic_index_in_dim slices (standalone-fast but they broke the
+        # ring's in-place scan carry — the per-actor-step insert degraded
+        # and le=64 fell 689k -> 202k, job 47): the flat-index formulation
+        # is what the per-transition sampler already uses against the same
+        # in-place-updated carry, with the indices now runs of B
+        # consecutive rows
+        f2 = buf.reshape((S * B,) + buf.shape[2:])
+        fidx = (s[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)
+        return jnp.take(f2, fidx, axis=0)             # [nb * B, ...]
+
+    def flat(x):
+        return x
+
+    return {
+        "obs": flat(rows(rs.frame, slot)).reshape((nb * B,) + shape),
+        "next_obs": flat(rows(rs.frame, (slot + n) % S)).reshape(
+            (nb * B,) + shape),
+        "action": flat(rows(rs.action, slot)).astype(jnp.int32),
+        "reward": flat(rows(ret_g, slot)),
+        "discount": (rs.gamma ** n) * flat(rows(alive_g, slot)),
+        "done": flat(rows(done_any_g, slot)),
+    }
+
+
+def frame_ring_sample_slots(rs: FrameRingState, key, batch: int):
+    """Uniform slot-row sample: ``batch`` must be ``nb * B``. Same valid-age
+    window (and the same ``valid_slots > 0`` precondition) as
+    :func:`frame_ring_sample`."""
+    nb, rem = divmod(batch, rs.width)
+    if rem:
+        raise ValueError(f"slot-row batch {batch} must be a multiple of the "
+                         f"ring width {rs.width}")
+    m = rs.n_step + jax.random.randint(
+        key, (nb,), 0, jnp.maximum(rs.valid_slots, 1))
+    slot = (rs.ptr - 1 - m) % rs.slots
+    return _frame_ring_slot_batch(rs, slot), slot
+
+
+def frame_ring_sample_slots_prioritized(rs: FrameRingState, key, batch: int,
+                                        beta):
+    """Slot-level PER: slots drawn with replacement proportional to their
+    summed priority (the two-level CDF's level 1 alone); all B transitions
+    of a drawn slot enter the batch, importance-weighted by the slot-level
+    inclusion probability (uniform within the row — a stratified
+    coarsening of Schaul et al.'s per-transition scheme; per-transition
+    priorities are still written back and shape future slot sums).
+    Returns (batch, slot, weights[nb * B])."""
+    nb, rem = divmod(batch, rs.width)
+    if rem:
+        raise ValueError(f"slot-row batch {batch} must be a multiple of the "
+                         f"ring width {rs.width}")
+    B, S = rs.width, rs.slots
+    grid = jnp.where(_frame_ring_valid_mask(rs)[:, None], rs.priority, 0.0)
+    p_s = grid.sum(axis=1)                       # [S] slot priority masses
+    total = p_s.sum()
+    u = jax.random.uniform(key, (nb,)) * total
+    cum = jnp.cumsum(p_s)
+    slot = jnp.minimum((cum[None, :] <= u[:, None]).sum(axis=1), S - 1)
+    q = jnp.take(p_s, slot) / jnp.maximum(total, 1e-12)   # [nb] P(slot)
+    n_tr = jnp.maximum(rs.valid_slots * B, 1).astype(jnp.float32)
+    # per-draw inclusion prob of a transition in slot s is q_s; uniform
+    # within the row divides the slot's mass over its B transitions
+    w_slot = (1.0 / (n_tr * jnp.maximum(q / B, 1e-12))) ** beta
+    w_slot = jnp.where(q > 0, w_slot, 0.0)
+    q_min = jnp.min(jnp.where(p_s > 0, p_s, jnp.inf)) / jnp.maximum(total,
+                                                                    1e-12)
+    w_max = (1.0 / (n_tr * jnp.maximum(q_min / B, 1e-12))) ** beta
+    weights = jnp.repeat(w_slot / jnp.maximum(w_max, 1e-12), B)
+    return _frame_ring_slot_batch(rs, slot), slot, weights
+
+
+def replay_update_priority_slots(rs, slot, td_abs, alpha: float,
+                                 eps: float = 1e-3):
+    """Priority write-back for slot-row sampling: td_abs [nb * B] ->
+    priorities of the whole rows at ``slot``, via the flat-index scatter
+    (slot-contiguous indices). Duplicate drawn slots carry identical td
+    rows (identical inputs through the same noise draw), so last-wins
+    scatter semantics are value-deterministic."""
+    B = rs.priority.shape[1]
+    fidx = (slot[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)
+    return replay_update_priority(rs, fidx, td_abs, alpha, eps)
 
 
 def frame_ring_sample(rs: FrameRingState, key, batch: int):

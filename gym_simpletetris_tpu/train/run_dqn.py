@@ -70,6 +70,12 @@ def parse_args(argv=None):
                         "+35%% at learn_every=4), frame-ring (single raw "
                         "frames, 2k-x leaner memory, gather-heavier "
                         "sampling)")
+    p.add_argument("--sample-slots", action="store_true",
+                   help="learner batches are whole replay slot rows "
+                        "(learn_batch/num_envs of them) — contiguous row "
+                        "reads instead of per-transition gathers; with "
+                        "--prioritized the distribution coarsens to "
+                        "slot-level PER (see DQNConfig.sample_slots)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-jsonl", default=None)
     p.add_argument("--ckpt", default=None)
@@ -102,7 +108,8 @@ def main(argv=None):
         num_atoms=args.num_atoms, v_min=args.v_min, v_max=args.v_max,
         noisy=args.noisy, learn_every=args.learn_every,
         frame_ring=args.replay_layout != "legacy",
-        ring_stacks=args.replay_layout == "obs-ring")
+        ring_stacks=args.replay_layout == "obs-ring",
+        sample_slots=args.sample_slots)
 
     init_fn, _, chunk_fn, _ = make_train(cfg)
     state = init_fn(jax.random.PRNGKey(args.seed))

@@ -71,3 +71,27 @@ def test_tpu_image_throughput_floor():
     np.asarray(out[2].sum())
     sps = 4 * 1024 * 4096 / (time.time() - t0)
     assert sps > 10_000_000, f"image throughput regressed: {sps:,.0f} steps/s"
+
+
+@pytest.mark.skipif("cpu" in jax.devices()[0].platform.lower(),
+                    reason="absolute throughput floors only meaningful on TPU")
+def test_tpu_wide_board_throughput_floor():
+    """Perf canary for the multi-word (W>24) funnel-shift path (round-5
+    verdict item 6): ram rollout at W=32, B=4096 measured 46.3M env-steps/s
+    (0.34x the single-word W=10 headline — the ~Nw x bit-op cost, .jobs/42
+    round 5). An accidental gather/layout regression in the wide path is a
+    20-100x class; the floor sits far above it and safely below the record."""
+    import time
+    env = TetrisVectorEnv(EnvConfig(width=32, height=20, auto_reset=True),
+                          4096)
+    _, state = env.reset(jax.random.PRNGKey(0))
+    acts = jax.random.randint(jax.random.PRNGKey(1), (1024, 4096), 0, 7)
+    for _ in range(2):
+        fs, acc, rew, done = env.rollout(state, acts)
+    np.asarray(rew[-1, :1])
+    t0 = time.perf_counter()
+    for _ in range(4):
+        state, acc, rew, done = env.rollout(state, acts)
+    np.asarray(rew[-1, :1])
+    sps = 4 * 1024 * 4096 / (time.perf_counter() - t0)
+    assert sps > 25e6, f"wide-board W=32 rollout at {sps/1e6:.1f}M < 25M floor"

@@ -57,12 +57,21 @@ def main():
     ap.add_argument("--max-height", type=int, default=64)
     ap.add_argument("--max-lock-delay", type=int, default=8)
     ap.add_argument("--pixels", action="store_true",
-                    help="also compare the 84x84 grayscale obs of every step "
-                         "(uint8, pixel-exact); caps width/height at 40")
+                    help="also compare the grayscale image of every step "
+                         "(uint8, pixel-exact); caps width/height so blocks "
+                         "stay >= 1 px at the chosen --pixel-size")
+    ap.add_argument("--pixel-size", type=int, default=84,
+                    choices=[84, 160, 512],
+                    help="image size for --pixels: 84 soaks the observation "
+                         "path (build_observation_storage); 160/512 soak the "
+                         "render paths (rgb_array / human window geometry, "
+                         "tetris_env.py:446,460) through ops.raster.rasterize")
     args = ap.parse_args()
     if args.pixels:
-        args.max_width = min(args.max_width, 40)
-        args.max_height = min(args.max_height, 40)
+        # block = (size - 2*gap)//max(w,h) - gap must stay >= 1
+        cap = {84: 40, 160: 50, 512: 56}[args.pixel_size]
+        args.max_width = min(args.max_width, cap)
+        args.max_height = min(args.max_height, cap)
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -166,32 +175,46 @@ def main():
         np.testing.assert_array_equal(np.asarray(fs.shape_counts).T,
                                       out["counts"])
         if args.pixels:
-            # obs-level: the rendered 84x84 grayscale uint8 image of EVERY
-            # step, via the device raster (build_observation_storage) vs the
-            # host raster of the oracle's boards — chunked over T for memory
+            # obs-level: the rendered grayscale uint8 image of EVERY step,
+            # via the device raster vs the host raster of the oracle's
+            # boards — chunked over T for memory. Size 84 runs the actual
+            # observation path; 160/512 run the render-path geometry
+            # (rgb_array / human window) through ops.raster.rasterize.
             from gym_simpletetris_tpu.api.env import (
                 build_observation_storage, obs_from_storage)
             from gym_simpletetris_tpu.ops.raster import rasterize_host_batch
-            img_fn = jax.jit(jax.vmap(
-                lambda e: build_observation_storage(
-                    cfg.replace(obs_type="grayscale"), e)))
+            psize = args.pixel_size
+            if psize == 84:
+                img_fn = jax.jit(jax.vmap(
+                    lambda e: build_observation_storage(
+                        cfg.replace(obs_type="grayscale"), e)))
+            else:
+                from gym_simpletetris_tpu.ops.bitops import unpack_rows
+                from gym_simpletetris_tpu.ops.raster import rasterize
+                img_fn = jax.jit(jax.vmap(
+                    lambda e: rasterize(
+                        unpack_rows(cfg, e, dtype=jnp.uint8),
+                        cfg.height, cfg.width, psize)))
             rgb_cfg = cfg.replace(obs_type="rgb")
             rgb_fn = jax.jit(jax.vmap(
                 lambda e: obs_from_storage(
                     rgb_cfg, build_observation_storage(rgb_cfg, e))))
             oboards = np.transpose(out["boards"], (1, 0, 3, 2))  # [T,B,H,W]
-            ck = max(1, (1 << 24) // (B * 84 * 84))
+            ck = max(1, (1 << 24) // (B * psize * psize))
             for t0c in range(0, T, ck):
                 imgs = np.asarray(img_fn(em[t0c:t0c + ck]))
                 want = rasterize_host_batch(
                     oboards[t0c:t0c + ck].reshape(-1, cfg.height, cfg.width),
-                    cfg.height, cfg.width, 84).reshape(imgs.shape)
+                    cfg.height, cfg.width, psize).reshape(imgs.shape)
                 np.testing.assert_array_equal(imgs, want,
                                               err_msg=f"pixels cfg={cfg}")
-                if t0c == 0:
+                if t0c == 0 and psize == 84:
                     # rgb delivered surface (the channel-triple + f32 cast,
                     # tetris_env.py:117-122,:433): every channel of every
-                    # pixel on the first chunk
+                    # pixel on the first chunk — the rgb OBSERVATION is
+                    # 84px only, so this check is skipped for the 160/512
+                    # render-geometry soaks (whose boards may exceed the
+                    # 84px block>=1 limit)
                     rgb = np.asarray(rgb_fn(em[t0c:t0c + ck]))
                     np.testing.assert_array_equal(
                         rgb, np.repeat(
