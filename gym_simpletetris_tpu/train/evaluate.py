@@ -45,6 +45,17 @@ def evaluate_policy(env: TetrisVectorEnv, action_fn, steps: int, seed: int) -> d
     }
 
 
+def _unwrap_params(tree):
+    """Accept a checkpoint holding either a full train state or bare flax
+    params and return the ``{"params": layers}`` variables dict apply()
+    expects."""
+    params = tree["params"] if isinstance(tree, dict) and "params" in tree \
+        else tree.params
+    if isinstance(params, dict) and "params" not in params:
+        params = {"params": params}   # ckpt held bare params: re-wrap
+    return params
+
+
 def make_action_fn(name: str, cfg: EnvConfig, batch: int, ckpt: str = None,
                    seed: int = 0, atoms: int = 0, noisy: bool = False,
                    es_hidden=(64, 64)):
@@ -62,8 +73,7 @@ def make_action_fn(name: str, cfg: EnvConfig, batch: int, ckpt: str = None,
         from ..utils.checkpoint import restore_checkpoint
         net = ActorCritic(obs_type=cfg.obs_type)
         tree = restore_checkpoint(ckpt)
-        params = tree["params"] if isinstance(tree, dict) and "params" in tree \
-            else tree.params
+        params = _unwrap_params(tree)
 
         @jax.jit
         def act_ppo(obs):
@@ -99,8 +109,7 @@ def make_action_fn(name: str, cfg: EnvConfig, batch: int, ckpt: str = None,
         net = build_q_network(cfg.obs_type, spaces.observation_space(cfg).shape,
                               num_atoms=atoms, noisy=noisy)
         tree = restore_checkpoint(ckpt)
-        params = tree["params"] if isinstance(tree, dict) and "params" in tree \
-            else tree.params
+        params = _unwrap_params(tree)
 
         @jax.jit
         def act(obs):
