@@ -66,6 +66,11 @@ def main():
                          "path (build_observation_storage); 160/512 soak the "
                          "render paths (rgb_array / human window geometry, "
                          "tetris_env.py:446,460) through ops.raster.rasterize")
+    ap.add_argument("--chunk-bytes", type=int, default=1 << 24,
+                    help="--pixels fetch-chunk budget in image bytes; on the "
+                         "remote-TPU backend every chunk pays a tunnel "
+                         "round-trip, so raise this (e.g. 1<<27) to cut the "
+                         "per-config fetch count ~8x")
     args = ap.parse_args()
     if args.pixels:
         # block = (size - 2*gap)//max(w,h) - gap must stay >= 1
@@ -200,7 +205,7 @@ def main():
                 lambda e: obs_from_storage(
                     rgb_cfg, build_observation_storage(rgb_cfg, e))))
             oboards = np.transpose(out["boards"], (1, 0, 3, 2))  # [T,B,H,W]
-            ck = max(1, (1 << 24) // (B * psize * psize))
+            ck = max(1, args.chunk_bytes // (B * psize * psize))
             for t0c in range(0, T, ck):
                 imgs = np.asarray(img_fn(em[t0c:t0c + ck]))
                 want = rasterize_host_batch(
